@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs a single JVM (``local[N]``); the configuration is
+written for a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime coalesce + skew-join splitting) — hot hosts in a
+  crawl frontier are exactly the skew AQE's skew-join handles for the
+  order-insensitive stages; order-sensitive stages are explicitly
+  salted instead (see operators/wave.py).
+- Arrow transport on, with a bounded batch size so pandas-UDF stages
+  have predictable executor memory.
+- Shuffle partition count is a knob (default 32 locally; a real
+  cluster sets it near 2-3x total cores, or leaves AQE to coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "moca-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("MOCA_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("MOCA_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("MOCA_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

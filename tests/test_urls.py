@@ -1,0 +1,155 @@
+"""URL kernel tests — ports the reference's UrlTest.scala:5-70 verbatim,
+plus the Spark-side column functions."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from moca_spark.functions.psl import effective_domain, public_suffix
+from moca_spark.functions.urls import (
+    _canonicalize_series,
+    canonicalize_str,
+    canonicalize_udf,
+    resolve_str,
+    url_domain,
+    url_host,
+    url_key,
+    url_sha1,
+    with_url_columns,
+)
+
+
+# --- UrlTest.scala ports -------------------------------------------------
+
+def test_remove_hash_from_url():  # UrlTest.scala:9
+    assert canonicalize_str("http://www.example.com/test#hi") == "http://www.example.com/test"
+
+
+def test_ports_and_protocol():  # UrlTest.scala:15-24: default ports dropped
+    assert canonicalize_str("http://www.example.com/") == "http://www.example.com/"
+    assert canonicalize_str("http://www.example.com:80/") == "http://www.example.com/"
+    assert canonicalize_str("https://www.example.com:443/") == "https://www.example.com/"
+    assert canonicalize_str("http://www.example.com:8080/") == "http://www.example.com:8080/"
+
+
+def test_host_and_domain():  # UrlTest.scala:28-35
+    assert effective_domain("www.example.com") == "example.com"
+    assert effective_domain("www.fazenda.gov.br") == "fazenda.gov.br"
+
+
+def test_normalize_paths():  # UrlTest.scala:38-41
+    assert canonicalize_str("http://www.example.com/a/b/../c") == "http://www.example.com/a/c"
+
+
+def test_resolve_paths():  # UrlTest.scala:44-47
+    assert resolve_str("http://www.example.com/k/x", "y/z") == "http://www.example.com/k/y/z"
+    assert resolve_str("http://www.example.com/k/x/", "y/z") == "http://www.example.com/k/x/y/z"
+    assert resolve_str("http://www.example.com/k/x", "/y/z") == "http://www.example.com/y/z"
+
+
+def test_scheme_whitelist():  # UrlTest.scala:50-62
+    assert canonicalize_str("javascript:;") is None
+    assert canonicalize_str("ftp://example.com") is None
+    assert canonicalize_str("HTTP://www.example.com") == "http://www.example.com/"
+
+
+def test_trailing_question_mark_kept():  # UrlTest.scala:66-68
+    assert canonicalize_str("http://www.example.com/a?") == "http://www.example.com/a?"
+
+
+# --- extra normalization edges -------------------------------------------
+
+def test_lowercase_host_empty_path():
+    assert canonicalize_str("http://WWW.Example.COM") == "http://www.example.com/"
+
+
+def test_fragment_only_dropped_query_kept():
+    assert canonicalize_str("https://a.test/p?q=1#frag") == "https://a.test/p?q=1"
+
+
+def test_invalid_inputs():
+    assert canonicalize_str(None) is None
+    assert canonicalize_str("") is None
+    assert canonicalize_str("http://") is None
+    assert canonicalize_str("not a url") is None
+
+
+def test_dotdot_past_root_clamped():
+    assert canonicalize_str("http://a.test/../../x") == "http://a.test/x"
+
+
+def test_trailing_dot_segment_keeps_slash():
+    assert canonicalize_str("http://a.test/a/b/..") == "http://a.test/a/"
+    assert canonicalize_str("http://a.test/a/.") == "http://a.test/a/"
+
+
+def test_psl_wildcard_and_exception():
+    assert public_suffix("foo.bar.ck") == "bar.ck"  # *.ck wildcard
+    assert effective_domain("www.ck") == "www.ck"  # !www.ck exception
+    assert effective_domain("a.b.blogspot.com") == "b.blogspot.com"
+
+
+def test_fast_path_matches_slow_path():
+    urls = [
+        "http://www.example.com/test",
+        "http://www.example.com/a/c",
+        "https://x.test:8443/p?q=1",
+        "HTTP://Mixed.Case/Path",
+        "http://a.test/a/b/../c",
+        "ftp://nope",
+        None,
+        "http://a.test/a?",
+    ]
+    got = _canonicalize_series(pd.Series(urls, dtype="object"))
+    want = [canonicalize_str(u) for u in urls]
+    assert list(got) == want
+
+
+# --- Spark column functions ----------------------------------------------
+
+def test_spark_url_projection(spark):
+    raw = [
+        ("http://www.Example.com/test#hi",),
+        ("http://www.example.com:80/a/b/../c",),
+        ("ftp://bad.example.com/x",),
+        ("https://sub.fazenda.gov.br/doc",),
+    ]
+    df = spark.createDataFrame(raw, ["url"])
+    out = with_url_columns(df).orderBy("url").collect()
+    assert [r.url for r in out] == [
+        "http://www.example.com/a/c",
+        "http://www.example.com/test",
+        "https://sub.fazenda.gov.br/doc",
+    ]
+    byurl = {r.url: r for r in out}
+    assert byurl["http://www.example.com/test"].host == "www.example.com"
+    assert byurl["http://www.example.com/test"].domain == "example.com"
+    assert byurl["https://sub.fazenda.gov.br/doc"].domain == "fazenda.gov.br"
+    # hash matches xxhash64 of canonical string, stable across calls
+    h = spark.createDataFrame(
+        [("http://www.example.com/test",)], ["u"]
+    ).select(F.xxhash64("u").alias("h")).first().h
+    assert byurl["http://www.example.com/test"].url_hash == h
+
+
+def test_spark_sha1_id(spark):
+    # Url.id = SHA-1 hex of the normalized string (Url.scala:16-20)
+    u = "http://www.example.com/test"
+    got = (
+        spark.createDataFrame([(u,)], ["url"])
+        .select(url_sha1(F.col("url")).alias("id"))
+        .first()
+        .id
+    )
+    assert got == hashlib.sha1(u.encode()).hexdigest()
+
+
+def test_no_row_python_in_plan(spark):
+    """North rule: no per-row Python. Plans must use ArrowEvalPython
+    (pandas UDF), never BatchEvalPython (row-at-a-time UDF)."""
+    df = with_url_columns(spark.createDataFrame([("http://a.test/x",)], ["url"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,298 @@
+"""The distributed crawl engine: iterative BFS waves over a global
+frontier, all DataFrame ops.
+
+One wave (= the reference's "every host's current task makes progress
+for one politeness window") does:
+
+  1. SLICE    top-budget rows per host in (depth, seq) order — the
+               per-host exclusive politeness-bounded queue head
+               (PartitionScheduler + Minion FIFO; operators/wave.py);
+  2. FETCH    left equi-join slice -> images corpus on image_id
+               (sha1 of the canonical URL) — the sandbox stand-in for
+               HTTP GET (Minion.scala:110-117); missing row = fetch
+               failure (NotFetched path — URL is consumed, no links);
+  3. SEEN     min-depth merge of fetched URLs into the seen table
+               (url_depth + downloaded sets, PgRunControl.scala:344-364);
+  4. EXPAND   parents with depth < max_depth join the links graph —
+               AHref extraction (AHrefCriteria.scala:16-21), then the
+               compiled criteria filter chain (criteria/stages.py);
+  5. DEDUP    consolidate candidates per (run, url) keeping min
+               (depth, parent_rank); optional bloom pre-filter, then
+               exact anti-join-style classification vs seen — admit
+               unseen or strictly-smaller depth (re-crawl, T8);
+  6. MERGE    frontier = (rest of frontier) ∪ fresh, min (depth, seq)
+               per (run, url) — J2 frontier dedup + depth replacement;
+  7. COMMIT   checkpoint frontier+seen, append results+metrics
+               (store/lakehouse.py) — the Akka journal/snapshot analog.
+
+Scale notes (the 100 TB story):
+- No unbounded per-host window anywhere: slicing is salted two-phase
+  top-K; fresh-candidate seq needs no numbering at all (see
+  crawl/oracle.py ordering contract).
+- Every join shuffles on its natural key and AQE handles skew; the
+  links-graph join is the big one and is a plain shuffled hash join.
+- The runs/criteria table and robots rules are broadcast.
+- Per-wave state is re-read from the checkpoint, so lineage stays one
+  scan deep regardless of wave count (no plan blow-up across
+  iterations).
+- Python appears only in Arrow UDFs (canonicalize, PSL domain) and in
+  the optional bloom pre-filter; everything else is codegen'd JVM.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moca_spark.criteria.dsl import Work
+from moca_spark.criteria.stages import apply_criteria
+from moca_spark.functions.urls import (
+    canonicalize_udf,
+    domain_udf,
+    url_host,
+)
+from moca_spark.operators.wave import top_k_per_host
+from moca_spark.store.lakehouse import CheckpointStore
+
+SEQ_WAVE_STRIDE = 1 << 32
+POLITENESS_INTERVAL_S = 5  # reference default, role/Task.scala:12
+
+
+@dataclass
+class CrawlResult:
+    frontier: DataFrame
+    seen: DataFrame
+    results: DataFrame
+    metrics: DataFrame
+    waves: int
+
+    def crawl_order(self) -> DataFrame:
+        """Per-host fetch order (host, pos, url, depth) — golden shape
+        (FIXTURES.md §6). pos = position within the host across waves."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("host").orderBy("wave", "rank")
+        return self.results.select(
+            "host", "wave", "rank", "url", "depth", "run_id"
+        ).withColumn("pos", F.row_number().over(w))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        links: DataFrame,
+        images: DataFrame,
+        robots: DataFrame | None = None,
+        budget: int = 8,
+        checkpoint_dir: str | None = None,
+        n_salts: int = 16,
+        keep_snapshots: int = 0,
+    ):
+        self.spark = spark
+        self.images = images
+        self.robots = robots
+        self.budget = budget
+        self.n_salts = n_salts
+        self.keep_snapshots = keep_snapshots  # 0 = keep all wave states
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+            prefix="moca-chk-"
+        )
+        self.store = CheckpointStore(spark, self.checkpoint_dir)
+        # Canonicalize the graph once: both endpoints normalized, invalid
+        # dropped (R9 scheme whitelist happens inside canonicalize).
+        self.links = (
+            links.select(
+                canonicalize_udf("src_url").alias("src_url"),
+                canonicalize_udf("dst_url").alias("dst_url"),
+            )
+            .filter(F.col("src_url").isNotNull() & F.col("dst_url").isNotNull())
+            .distinct()
+        )
+        self.runs: list[dict] = []
+        self.custom_by_name: dict[str, tuple[str, ...]] = {}
+
+    # -- entry point 1: AddWork (SeedInputParser -> PgRunControl.add) ----
+    def add_works(self, works: list[Work]) -> int:
+        """Register works; duplicate work ids are skipped (A6,
+        PgRunControl.scala:71-74). Returns number actually added."""
+        existing = {r["run_id"] for r in self.runs}
+        added = 0
+        for w in works:
+            if w.work_id in existing:
+                continue
+            existing.add(w.work_id)
+            spec = w.criteria
+            self.runs.append(
+                {
+                    "run_id": w.work_id,
+                    "seed_url": w.seed_url,
+                    "seed_seq": len(self.runs),
+                    **spec.as_row(),
+                }
+            )
+            if spec.custom_filters:
+                self.custom_by_name[spec.name] = spec.custom_filters
+            added += 1
+        return added
+
+    def _runs_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            self.runs,
+            "run_id string, seed_url string, seed_seq long, "
+            "criteria_name string, max_depth int, same_host boolean, "
+            "same_domain boolean, robots_txt boolean",
+        )
+
+    def _initial_state(self) -> tuple[DataFrame, DataFrame]:
+        runs = self._runs_df()
+        frontier = runs.select(
+            "run_id",
+            F.col("seed_url").alias("url"),
+            url_host(F.col("seed_url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.col("seed_seq").alias("seq"),
+        )
+        seen = frontier.select("run_id", "url", "depth").filter(F.lit(False)) \
+            .withColumnRenamed("depth", "best_depth")
+        return frontier, seen
+
+    # -- entry point 2: the crawl loop (SELECT) ---------------------------
+    def run(self, max_waves: int = 10_000, resume: bool = False) -> CrawlResult:
+        if resume and self.store.latest_wave() is not None:
+            start = self.store.latest_wave()
+            frontier, seen = self.store.load_wave(start)
+        else:
+            start = 0
+            frontier, seen = self._initial_state()
+            frontier, seen = self.store.commit_wave(0, frontier, seen, None, None)
+
+        runs_b = F.broadcast(self._runs_df())
+        wave = start
+        while wave < max_waves:
+            if frontier.isEmpty():
+                break
+            wave += 1
+            frontier, seen = self._step(wave, frontier, seen, runs_b)
+            if self.keep_snapshots:
+                self.store.expire_snapshots(self.keep_snapshots)
+
+        results = self.store.all_results()
+        metrics = self.store.all_metrics()
+        return CrawlResult(frontier, seen, results, metrics, wave - start)
+
+    def _step(
+        self, wave: int, frontier: DataFrame, seen: DataFrame, runs_b: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        # 1. SLICE — per-host politeness-bounded queue heads
+        sliced = top_k_per_host(frontier, self.budget, self.n_salts)
+        rest = frontier.join(
+            sliced.select("run_id", "url"), ["run_id", "url"], "left_anti"
+        )
+
+        # 2. FETCH — equi-join against the image+caption corpus
+        fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
+            .join(self.images, "image_id", "left")
+        results_w = fetched.select(
+            "run_id",
+            F.lit(wave).alias("wave"),
+            "host",
+            "rank",
+            "url",
+            "depth",
+            F.col("bytes").isNotNull().alias("fetched"),
+            F.sha1(F.col("bytes")).alias("content_hash"),
+            "caption",
+            "phash",
+            F.concat_ws("/", "run_id", F.lit(wave).cast("string"), "image_id")
+            .alias("content_uri"),
+            # politeness schedule: rank-th fetch of this host's wave
+            (F.lit(wave * self.budget * POLITENESS_INTERVAL_S)
+             + (F.col("rank") - 1) * POLITENESS_INTERVAL_S)
+            .alias("fetch_offset_s"),
+        )
+
+        # 3. SEEN — min-depth merge (fetch failures count as seen too)
+        seen_new = (
+            seen.unionByName(
+                sliced.select("run_id", "url", F.col("depth").alias("best_depth"))
+            )
+            .groupBy("run_id", "url")
+            .agg(F.min("best_depth").alias("best_depth"))
+        )
+
+        # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
+        parents = (
+            fetched.filter(F.col("bytes").isNotNull())
+            .join(runs_b.drop("seed_url", "seed_seq"), "run_id")
+            .filter((F.col("max_depth") < 0) | (F.col("depth") < F.col("max_depth")))
+            .select(
+                "run_id", "criteria_name", "same_host", "same_domain",
+                "robots_txt",
+                F.col("url").alias("src_url"),
+                F.col("host").alias("src_host"),
+                domain_udf(F.col("host")).alias("src_domain"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("rank").alias("parent_rank"),
+            )
+        )
+        cand = (
+            parents.join(self.links, "src_url")
+            .withColumn("dst_host", url_host(F.col("dst_url")))
+            .withColumn("dst_domain", domain_udf(F.col("dst_host")))
+        )
+        cand = apply_criteria(cand, self.robots, self.custom_by_name)
+
+        # 5. DEDUP — consolidate, then classify vs seen (re-crawl on
+        #    strictly smaller depth)
+        cand2 = (
+            cand.groupBy("run_id", "dst_url", "dst_host")
+            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+            .select(
+                "run_id",
+                F.col("dst_url").alias("url"),
+                F.col("dst_host").alias("host"),
+                F.col("m.depth").alias("depth"),
+                F.col("m.parent_rank").alias("parent_rank"),
+            )
+        )
+        fresh = (
+            cand2.join(seen_new, ["run_id", "url"], "left")
+            .filter(F.col("best_depth").isNull() | (F.col("depth") < F.col("best_depth")))
+            .select(
+                "run_id", "url", "host", "depth",
+                (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
+            )
+        )
+
+        # 6. MERGE — frontier keeps min (depth, seq) per (run, url)
+        frontier_new = (
+            rest.unionByName(fresh)
+            .groupBy("run_id", "url")
+            .agg(
+                F.min(F.struct("depth", "seq")).alias("m"),
+                F.first("host").alias("host"),
+            )
+            .select("run_id", "url", "host", F.col("m.depth").alias("depth"),
+                    F.col("m.seq").alias("seq"))
+        )
+
+        # metrics: per (wave, host) lineage + counters (A7 north rule)
+        metrics_w = (
+            results_w.groupBy("host")
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.col("fetched").cast("long")).alias("fetched"),
+            )
+            .withColumn("wave", F.lit(wave))
+            .withColumn("partition_id", F.spark_partition_id())
+        )
+
+        # 7. COMMIT — one atomic wave snapshot (journal + state)
+        return self.store.commit_wave(
+            wave, frontier_new, seen_new, results_w, metrics_w
+        )

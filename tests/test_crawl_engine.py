@@ -1,0 +1,270 @@
+"""Engine vs oracle parity on the fixture graphs (FIXTURES.md §2/§6,
+mirroring PgRunControlTest.scala:42-243, WorkerTest.scala:35-178,
+PartitionSchedulerTest.scala:10-97 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from moca_spark.criteria.dsl import CriteriaSpec, Work
+from moca_spark.crawl.engine import CrawlEngine
+from moca_spark.crawl.oracle import (
+    oracle_corpus_urls,
+    oracle_crawl,
+    oracle_seen_rows,
+)
+from moca_spark.sources.synth import (
+    chain_graph,
+    cycle_graph,
+    diamond_graph,
+    handoff_graph,
+    images_for_urls,
+    links_df,
+    zipf_graph,
+)
+
+
+def run_both(spark, tmp_path, works, edges, robots=None, budget=8,
+             corpus_urls=None, n_salts=4):
+    urls = corpus_urls if corpus_urls is not None else oracle_corpus_urls(edges, works)
+    images = images_for_urls(spark, sorted(urls))
+    robots_sdf = (
+        spark.createDataFrame(robots, ["host", "disallow_prefix"]) if robots else None
+    )
+    eng = CrawlEngine(
+        spark,
+        links_df(spark, edges),
+        images,
+        robots_sdf,
+        budget=budget,
+        checkpoint_dir=str(tmp_path / "chk"),
+        n_salts=n_salts,
+    )
+    eng.add_works(works)
+    got = eng.run()
+    want = oracle_crawl(works, edges, robots=robots, budget=budget,
+                        corpus_urls=urls)
+    return got, want
+
+
+def assert_match(got, want):
+    # per-host crawl order (golden crawl_order, FIXTURES.md §6)
+    got_order = sorted(
+        (r.host, r.pos, r.url, r.depth, r.run_id, r.wave)
+        for r in got.crawl_order().collect()
+    )
+    want_order = sorted(
+        (r["host"], r["pos"], r["url"], r["depth"], r["run_id"], r["wave"])
+        for r in want.crawl_order
+    )
+    assert got_order == want_order
+    # final seen set with best depths (golden seen_set)
+    got_seen = sorted((r.run_id, r.url, r.best_depth) for r in got.seen.collect())
+    want_seen = sorted(
+        (r["run_id"], r["url"], r["best_depth"]) for r in oracle_seen_rows(want)
+    )
+    assert got_seen == want_seen
+    assert got.waves == want.waves
+
+
+W = lambda wid, url, **kw: Work(wid, url, CriteriaSpec(**kw))  # noqa: E731
+
+
+def test_single_host_chain_bfs(spark, tmp_path):
+    """WorkerTest BFS semantics: chain crawled in order, depths 0..n."""
+    edges = chain_graph(n=6)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=2)
+    assert_match(got, want)
+    # budget 2 over a 6-chain where each wave only uncovers one new url:
+    # frontier never holds >1 url, so 6 waves
+    assert want.waves == 6
+    order = [r["url"] for r in want.crawl_order]
+    assert order == [f"http://site0.test/{i}" for i in range(6)]
+
+
+def test_two_host_handoff(spark, tmp_path):
+    """Cross-partition handoff (D5): siteB URLs crawled by siteB slices."""
+    works = [W("w1", "http://sitea.test/a", max_depth=5)]
+    got, want = run_both(spark, tmp_path, works, handoff_graph(), budget=4)
+    assert_match(got, want)
+    hosts = {r["url"]: r["host"] for r in want.crawl_order}
+    assert hosts["http://siteb.test/a"] == "siteb.test"
+    assert len(want.crawl_order) == 4
+
+
+def test_diamond_min_depth(spark, tmp_path):
+    """README.md:264-295 diamond: siteA/d reachable at depths 3 and 2.
+    With synchronous waves siteB's depth-2 discovery lands before the
+    depth-3 path is fetched, so /d is crawled once, at depth 2."""
+    works = [W("w1", "http://sitea.test/a", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, diamond_graph(), budget=1)
+    assert_match(got, want)
+    d_fetches = [r for r in want.crawl_order if r["url"] == "http://sitea.test/d"]
+    seen = {r["url"]: r["best_depth"] for r in oracle_seen_rows(want)}
+    assert seen["http://sitea.test/d"] == 2
+    assert [r["depth"] for r in d_fetches] == [2]
+
+
+def test_recrawl_on_smaller_depth(spark, tmp_path):
+    """T8 / PgRunControlTest.scala:130-167: a URL crawled at depth 3 and
+    later re-discovered at depth 2 is RE-crawled, and its subtree
+    (previously suppressed by max-depth) gets expanded.
+
+    Host B drains a long depth-1 queue (budget 1) and only reaches the
+    page linking A/d at depth 2 AFTER host C's fast path already got
+    A/d fetched at depth 3."""
+    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
+    edges = (
+        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
+        + [
+            (f"{B}/b5", f"{A}/d"),  # slow path: d at depth 2
+            (f"{B}/s", f"{C}/c1"),
+            (f"{C}/c1", f"{C}/c2"),
+            (f"{C}/c2", f"{A}/d"),  # fast path: d at depth 3
+            (f"{A}/d", f"{A}/e"),
+        ]
+    )
+    works = [W("w1", f"{B}/s", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1)
+    assert_match(got, want)
+    d_fetches = [r for r in want.crawl_order if r["url"] == f"{A}/d"]
+    assert [r["depth"] for r in d_fetches] == [3, 2]  # re-crawl happened
+    seen = {r["url"]: r["best_depth"] for r in oracle_seen_rows(want)}
+    assert seen[f"{A}/d"] == 2
+    # first crawl at depth 3 could NOT expand (max_depth); the re-crawl
+    # at depth 2 expands and admits /e at depth 3
+    assert seen[f"{A}/e"] == 3
+
+
+def test_cycle_terminates(spark, tmp_path):
+    works = [W("w1", "http://cyc.test/a", max_depth=10)]
+    got, want = run_both(spark, tmp_path, works, cycle_graph(), budget=8)
+    assert_match(got, want)
+    assert len(want.crawl_order) == 3  # each url fetched exactly once
+
+
+def test_max_depth_gates_expansion_not_admission(spark, tmp_path):
+    """MaxDepthCriteria.scala:10-12: a child AT max_depth is fetched but
+    not expanded."""
+    edges = chain_graph(n=5)
+    works = [W("w1", "http://site0.test/0", max_depth=2)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=8)
+    assert_match(got, want)
+    fetched = {r["url"] for r in want.crawl_order}
+    assert fetched == {f"http://site0.test/{i}" for i in (0, 1, 2)}
+
+
+def test_politeness_budget_respected(spark, tmp_path):
+    """≤ budget fetches per host per wave; rank is the in-wave order."""
+    edges = [("http://hub.test/0", f"http://hub.test/{i}") for i in range(1, 12)]
+    works = [W("w1", "http://hub.test/0", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=3)
+    assert_match(got, want)
+    per_wave = {}
+    for r in got.results.collect():
+        per_wave.setdefault((r.wave, r.host), []).append(r.rank)
+    for (_w, _h), ranks in per_wave.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_same_host_and_domain_criteria(spark, tmp_path):
+    edges = [
+        ("http://a.shop.test/x", "http://a.shop.test/y"),
+        ("http://a.shop.test/x", "http://b.shop.test/z"),
+        ("http://a.shop.test/x", "http://other.test/q"),
+    ]
+    works_host = [W("wh", "http://a.shop.test/x", max_depth=3, same_host=True)]
+    got, want = run_both(spark, tmp_path, works_host, edges)
+    assert_match(got, want)
+    assert {r["url"] for r in want.crawl_order} == {
+        "http://a.shop.test/x", "http://a.shop.test/y"
+    }
+    works_dom = [W("wd", "http://a.shop.test/x", max_depth=3, same_domain=True)]
+    got2, want2 = run_both(spark, tmp_path / "d2", works_dom, edges)
+    assert_match(got2, want2)
+    assert {r["url"] for r in want2.crawl_order} == {
+        "http://a.shop.test/x", "http://a.shop.test/y", "http://b.shop.test/z"
+    }
+
+
+def test_robots_filter(spark, tmp_path):
+    edges = [
+        ("http://r.test/", "http://r.test/private/a"),
+        ("http://r.test/", "http://r.test/public/b"),
+    ]
+    robots = [("r.test", "/private")]
+    works = [W("w1", "http://r.test/", max_depth=3, robots_txt=True)]
+    got, want = run_both(spark, tmp_path, works, edges, robots=robots)
+    assert_match(got, want)
+    assert {r["url"] for r in want.crawl_order} == {
+        "http://r.test/", "http://r.test/public/b"
+    }
+
+
+def test_fetch_failure_consumes_url(spark, tmp_path):
+    """NotFetched path (Minion.scala:92-108): URL with no corpus row is
+    consumed (seen) but yields no links."""
+    edges = chain_graph(n=4)
+    urls = oracle_corpus_urls(edges, [W("w1", "http://site0.test/0")])
+    urls.discard("http://site0.test/1")
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    got, want = run_both(spark, tmp_path, works, edges, corpus_urls=urls)
+    assert_match(got, want)
+    fetched_flags = {r.url: r.fetched for r in got.results.collect()}
+    assert fetched_flags["http://site0.test/1"] is False
+    assert "http://site0.test/2" not in fetched_flags  # chain cut
+
+
+def test_duplicate_work_ignored(spark, tmp_path):
+    """A6 (PgRunControl.scala:71-74): second AddWork with same id skipped."""
+    works = [
+        W("w1", "http://site0.test/0", max_depth=2),
+        W("w1", "http://site0.test/3", max_depth=2),
+    ]
+    got, want = run_both(spark, tmp_path, works, chain_graph(n=5))
+    assert_match(got, want)
+    assert all(r["run_id"] == "w1" for r in want.crawl_order)
+    assert {r["url"] for r in want.crawl_order} == {
+        f"http://site0.test/{i}" for i in (0, 1, 2)
+    }
+
+
+def test_two_runs_same_host_interleave(spark, tmp_path):
+    """Two runs crawling one host share its politeness budget (the
+    global one-task-per-partition lock, PartitionScheduler)."""
+    edges = chain_graph(n=4)
+    works = [
+        W("w1", "http://site0.test/0", max_depth=3),
+        W("w2", "http://site0.test/2", max_depth=3),
+    ]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1)
+    assert_match(got, want)
+    # budget 1: one fetch per wave for the host even with two runs
+    by_wave = {}
+    for r in want.crawl_order:
+        by_wave.setdefault(r["wave"], []).append(r)
+    assert all(len(v) == 1 for v in by_wave.values())
+
+
+def test_zipf_graph_parity(spark, tmp_path):
+    """Larger mixed-host graph: full parity engine vs oracle."""
+    edges = zipf_graph(n_hosts=6, pages_per_host=6)
+    works = [
+        W("w1", "http://host0.test/p0", max_depth=3),
+        W("w2", "http://host1.test/p0", max_depth=2, same_host=True),
+    ]
+    got, want = run_both(spark, tmp_path, works, edges, budget=3)
+    assert_match(got, want)
+    assert len(want.crawl_order) > 10
+
+
+@pytest.mark.parametrize("n_salts", [1, 4])
+def test_salting_does_not_change_results(spark, tmp_path, n_salts):
+    edges = zipf_graph(n_hosts=4, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=2)]
+    got, want = run_both(
+        spark, tmp_path / str(n_salts), works, edges, budget=2, n_salts=n_salts
+    )
+    assert_match(got, want)

@@ -1,0 +1,71 @@
+"""Bloom + cuckoo filter tests: the may-only-pass-never-drop discipline."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from moca_spark.filters.bloom import BloomFilter, build_bloom_from_df
+from moca_spark.filters.cuckoo import CuckooFilter
+
+
+def test_bloom_no_false_negatives_and_low_fpp():
+    rng = np.random.RandomState(7)
+    inserted = rng.randint(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = rng.randint(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = np.setdiff1d(other, inserted)
+    bf = BloomFilter(n_expected=20_000, fpp=1e-3)
+    bf.add_many(inserted)
+    assert bf.contains_many(inserted).all()  # zero false negatives
+    fpp = bf.contains_many(other).mean()
+    assert fpp < 5e-3
+
+
+def test_bloom_serialize_merge():
+    a, b = BloomFilter(1000), BloomFilter(1000)
+    ka = np.arange(0, 500, dtype=np.int64)
+    kb = np.arange(500, 1000, dtype=np.int64)
+    a.add_many(ka)
+    b.add_many(kb)
+    merged = BloomFilter.from_bytes(a.to_bytes()).merge(b)
+    assert merged.contains_many(np.arange(0, 1000, dtype=np.int64)).all()
+
+
+def test_bloom_distributed_build(spark):
+    df = spark.range(0, 5000, 1, 4).selectExpr("xxhash64(id) as url_hash")
+    bf = build_bloom_from_df(df, "url_hash", n_expected=5000)
+    keys = np.array([r.url_hash for r in df.collect()], dtype=np.int64)
+    assert bf.contains_many(keys).all()
+
+
+def test_cuckoo_add_contains_delete():
+    cf = CuckooFilter(n_expected=5000)
+    keys = list(range(-2000, 2000, 3))
+    for k in keys:
+        assert cf.add(k)
+    assert all(cf.contains(k) for k in keys)
+    # delete half, they must disappear (no false negatives on the rest)
+    for k in keys[::2]:
+        assert cf.delete(k)
+    assert all(cf.contains(k) for k in keys[1::2])
+    miss = sum(cf.contains(k) for k in keys[::2])
+    assert miss < len(keys[::2]) * 0.05  # deleted keys mostly gone
+
+
+def test_cuckoo_vectorized_matches_scalar():
+    cf = CuckooFilter(n_expected=2000)
+    ins = np.arange(0, 1000, dtype=np.int64) * 7919
+    for k in ins:
+        cf.add(int(k))
+    probe = np.concatenate([ins, ins + 1])
+    vec = cf.contains_many(probe)
+    scalar = np.array([cf.contains(int(k)) for k in probe])
+    assert (vec == scalar).all()
+
+
+def test_cuckoo_roundtrip():
+    cf = CuckooFilter(n_expected=100)
+    for k in range(50):
+        cf.add(k)
+    back = CuckooFilter.from_bytes(cf.to_bytes())
+    assert all(back.contains(k) for k in range(50))
+    assert back.size == cf.size

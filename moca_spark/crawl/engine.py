@@ -41,20 +41,24 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-import os
 import tempfile
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
 
 from moca_spark.criteria.dsl import Work
 from moca_spark.criteria.stages import apply_criteria
+from moca_spark.filters.bloom import BloomFilter, build_bloom_from_df
 from moca_spark.functions.urls import (
     canonicalize_udf,
     domain_udf,
     url_host,
 )
+from moca_spark.operators.fetch import fetch_with_token_bucket
 from moca_spark.operators.wave import top_k_per_host
 from moca_spark.store.lakehouse import CheckpointStore
 
@@ -92,6 +96,10 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         n_salts: int = 16,
         keep_snapshots: int = 0,
+        durable: bool = True,
+        use_bloom: bool = False,
+        bloom_capacity: int = 1_000_000,
+        use_token_bucket: bool = False,
     ):
         self.spark = spark
         self.images = images
@@ -99,6 +107,15 @@ class CrawlEngine:
         self.budget = budget
         self.n_salts = n_salts
         self.keep_snapshots = keep_snapshots  # 0 = keep all wave states
+        self.durable = durable  # False: localCheckpoint, no resume — tests/bench
+        self.use_bloom = use_bloom
+        self.bloom_capacity = bloom_capacity
+        self.use_token_bucket = use_token_bucket
+        self._bloom: BloomFilter | None = (
+            BloomFilter(bloom_capacity) if use_bloom else None
+        )
+        self._results_acc: list[DataFrame] = []
+        self._metrics_acc: list[DataFrame] = []
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="moca-chk-"
         )
@@ -164,12 +181,19 @@ class CrawlEngine:
     # -- entry point 2: the crawl loop (SELECT) ---------------------------
     def run(self, max_waves: int = 10_000, resume: bool = False) -> CrawlResult:
         if resume and self.store.latest_wave() is not None:
+            if not self.durable:
+                raise ValueError("resume requires durable=True")
             start = self.store.latest_wave()
             frontier, seen = self.store.load_wave(start)
+            if self.use_bloom:  # rebuild the seen bloom from state (T5)
+                self._bloom = build_bloom_from_df(
+                    seen.withColumn("k", self._seen_key()), "k",
+                    self.bloom_capacity,
+                )
         else:
             start = 0
             frontier, seen = self._initial_state()
-            frontier, seen = self.store.commit_wave(0, frontier, seen, None, None)
+            frontier, seen = self._commit(0, frontier, seen, None, None)
 
         runs_b = F.broadcast(self._runs_df())
         wave = start
@@ -178,25 +202,73 @@ class CrawlEngine:
                 break
             wave += 1
             frontier, seen = self._step(wave, frontier, seen, runs_b)
-            if self.keep_snapshots:
+            if self.durable and self.keep_snapshots:
                 self.store.expire_snapshots(self.keep_snapshots)
 
-        results = self.store.all_results()
-        metrics = self.store.all_metrics()
-        return CrawlResult(frontier, seen, results, metrics, wave - start)
+        if self.durable:
+            results, metrics = self.store.all_results(), self.store.all_metrics()
+        else:
+            results = self._union_acc(self._results_acc)
+            metrics = self._union_acc(self._metrics_acc)
+        return CrawlResult(frontier, seen, results, metrics, wave)
+
+    def _union_acc(self, acc: list[DataFrame]) -> DataFrame | None:
+        if not acc:
+            return None
+        out = acc[0]
+        for df in acc[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def _commit(
+        self, wave: int, frontier: DataFrame, seen: DataFrame,
+        results: DataFrame | None, metrics: DataFrame | None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Durable mode: atomic wave snapshot (exactly-once resume).
+        Memory mode: localCheckpoint truncates lineage, results kept as
+        checkpointed increments — same dataflow, no disk."""
+        if self.durable:
+            return self.store.commit_wave(wave, frontier, seen, results, metrics)
+        if results is not None:
+            self._results_acc.append(results.localCheckpoint(eager=True))
+        if metrics is not None:
+            self._metrics_acc.append(metrics.localCheckpoint(eager=True))
+        return (
+            frontier.localCheckpoint(eager=True),
+            seen.localCheckpoint(eager=True),
+        )
+
+    @staticmethod
+    def _seen_key(run_col: str = "run_id", url_col: str = "url") -> F.Column:
+        """64-bit bloom key over (run, url) — xxhash64, JVM-side."""
+        return F.xxhash64(F.concat_ws("\x00", F.col(run_col), F.col(url_col)))
 
     def _step(
         self, wave: int, frontier: DataFrame, seen: DataFrame, runs_b: DataFrame
     ) -> tuple[DataFrame, DataFrame]:
         # 1. SLICE — per-host politeness-bounded queue heads
-        sliced = top_k_per_host(frontier, self.budget, self.n_salts)
+        sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
         rest = frontier.join(
             sliced.select("run_id", "url"), ["run_id", "url"], "left_anti"
         )
 
+        # incremental bloom maintenance: this wave's fetches ARE the new
+        # seen entries; add their keys via distributed partial bitmaps
+        if self._bloom is not None:
+            self._bloom.merge(
+                build_bloom_from_df(
+                    sliced.select(self._seen_key().alias("k")), "k",
+                    self.bloom_capacity,
+                )
+            )
+
         # 2. FETCH — equi-join against the image+caption corpus
         fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
             .join(self.images, "image_id", "left")
+        if self.use_token_bucket:
+            fetched = fetch_with_token_bucket(
+                fetched, POLITENESS_INTERVAL_S, wave, self.budget
+            )
         results_w = fetched.select(
             "run_id",
             F.lit(wave).alias("wave"),
@@ -211,9 +283,14 @@ class CrawlEngine:
             F.concat_ws("/", "run_id", F.lit(wave).cast("string"), "image_id")
             .alias("content_uri"),
             # politeness schedule: rank-th fetch of this host's wave
-            (F.lit(wave * self.budget * POLITENESS_INTERVAL_S)
-             + (F.col("rank") - 1) * POLITENESS_INTERVAL_S)
-            .alias("fetch_offset_s"),
+            (
+                F.col("fetch_time_s")
+                if self.use_token_bucket
+                else (
+                    F.lit((wave - 1) * self.budget * POLITENESS_INTERVAL_S)
+                    + (F.col("rank") - 1) * POLITENESS_INTERVAL_S
+                ).cast("double")
+            ).alias("fetch_offset_s"),
         )
 
         # 3. SEEN — min-depth merge (fetch failures count as seen too)
@@ -260,14 +337,43 @@ class CrawlEngine:
                 F.col("m.parent_rank").alias("parent_rank"),
             )
         )
-        fresh = (
-            cand2.join(seen_new, ["run_id", "url"], "left")
-            .filter(F.col("best_depth").isNull() | (F.col("depth") < F.col("best_depth")))
-            .select(
-                "run_id", "url", "host", "depth",
-                (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
+        fresh_cols = [
+            "run_id", "url", "host", "depth",
+            (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
+        ]
+        if self._bloom is not None:
+            # Bloom pre-filter (J1 north rule): a MISS is definitive —
+            # those rows are admitted without touching the seen table;
+            # HITs go to the exact join, which alone decides (false
+            # positives cost join work, never correctness).
+            bloom_bytes = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
+
+            @pandas_udf(BooleanType())
+            def maybe_seen(keys: pd.Series) -> pd.Series:
+                bf = BloomFilter.from_bytes(bloom_bytes.value)
+                return pd.Series(bf.contains_many(keys.to_numpy()))
+
+            tagged = cand2.withColumn("_maybe", maybe_seen(self._seen_key()))
+            definitely_new = tagged.filter(~F.col("_maybe")).select(*fresh_cols)
+            checked = (
+                tagged.filter(F.col("_maybe"))
+                .join(seen_new, ["run_id", "url"], "left")
+                .filter(
+                    F.col("best_depth").isNull()
+                    | (F.col("depth") < F.col("best_depth"))
+                )
+                .select(*fresh_cols)
             )
-        )
+            fresh = definitely_new.unionByName(checked)
+        else:
+            fresh = (
+                cand2.join(seen_new, ["run_id", "url"], "left")
+                .filter(
+                    F.col("best_depth").isNull()
+                    | (F.col("depth") < F.col("best_depth"))
+                )
+                .select(*fresh_cols)
+            )
 
         # 6. MERGE — frontier keeps min (depth, seq) per (run, url)
         frontier_new = (
@@ -293,6 +399,6 @@ class CrawlEngine:
         )
 
         # 7. COMMIT — one atomic wave snapshot (journal + state)
-        return self.store.commit_wave(
-            wave, frontier_new, seen_new, results_w, metrics_w
-        )
+        out = self._commit(wave, frontier_new, seen_new, results_w, metrics_w)
+        sliced.unpersist()
+        return out

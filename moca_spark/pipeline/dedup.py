@@ -209,17 +209,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).withColumn("th", portable_hash60(F.col("tok")))
     contrib = (
         tokens.crossJoin(F.broadcast(bit_pos))
-        .withColumn(
-            "delta",
-            (F.shiftright(F.col("th"), F.col("bit")) % 2) * 2 - 1,
-        )
+        .withColumn("delta", (F.expr("shiftright(th, bit)") % 2) * 2 - 1)
         .groupBy(id_col, "bit")
         .agg(F.sum("delta").alias("s"))
     )
     return contrib.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("s") > 0,
-                   F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
             .otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )

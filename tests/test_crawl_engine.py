@@ -24,13 +24,14 @@ from moca_spark.sources.synth import (
 )
 
 
-def run_both(spark, tmp_path, works, edges, robots=None, budget=8,
-             corpus_urls=None, n_salts=4):
+def make_engine(spark, tmp_path, works, edges, robots=None, budget=8,
+                corpus_urls=None, n_salts=4, **kw):
     urls = corpus_urls if corpus_urls is not None else oracle_corpus_urls(edges, works)
     images = images_for_urls(spark, sorted(urls))
     robots_sdf = (
         spark.createDataFrame(robots, ["host", "disallow_prefix"]) if robots else None
     )
+    kw.setdefault("durable", False)  # memory mode: fast tests
     eng = CrawlEngine(
         spark,
         links_df(spark, edges),
@@ -39,8 +40,17 @@ def run_both(spark, tmp_path, works, edges, robots=None, budget=8,
         budget=budget,
         checkpoint_dir=str(tmp_path / "chk"),
         n_salts=n_salts,
+        **kw,
     )
     eng.add_works(works)
+    return eng, urls
+
+
+def run_both(spark, tmp_path, works, edges, robots=None, budget=8,
+             corpus_urls=None, n_salts=4, **kw):
+    eng, urls = make_engine(spark, tmp_path, works, edges, robots=robots,
+                            budget=budget, corpus_urls=corpus_urls,
+                            n_salts=n_salts, **kw)
     got = eng.run()
     want = oracle_crawl(works, edges, robots=robots, budget=budget,
                         corpus_urls=urls)
@@ -268,3 +278,78 @@ def test_salting_does_not_change_results(spark, tmp_path, n_salts):
         spark, tmp_path / str(n_salts), works, edges, budget=2, n_salts=n_salts
     )
     assert_match(got, want)
+
+
+def test_bloom_prefilter_parity(spark, tmp_path):
+    """use_bloom must not change ANY result (misses admitted directly,
+    hits resolved by the exact join — J1 discipline)."""
+    edges = zipf_graph(n_hosts=5, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=2,
+                         use_bloom=True, bloom_capacity=10_000)
+    assert_match(got, want)
+
+
+def test_token_bucket_politeness(spark, tmp_path):
+    """mapInPandas token bucket: per host, fetch times are spaced by
+    exactly the politeness interval in rank order (WorkerTest.scala:70-71:
+    consecutive fetches >= interval apart)."""
+    from moca_spark.crawl.engine import POLITENESS_INTERVAL_S
+
+    edges = [("http://tb.test/0", f"http://tb.test/{i}") for i in range(1, 8)]
+    works = [W("w1", "http://tb.test/0", max_depth=2)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=3,
+                         use_token_bucket=True)
+    assert_match(got, want)
+    rows = sorted(
+        got.results.select("host", "wave", "rank", "fetch_offset_s").collect(),
+        key=lambda r: (r.host, r.wave, r.rank),
+    )
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.fetch_offset_s)
+    for times in by_host.values():
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= POLITENESS_INTERVAL_S for g in gaps)
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    """T3/T5 exactly-once resume: kill after wave 2, resume from the
+    committed snapshot, end state identical to an uninterrupted run."""
+    edges = chain_graph(n=6)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+
+    eng1, urls = make_engine(spark, tmp_path / "a", works, edges, budget=1,
+                             durable=True)
+    partial = eng1.run(max_waves=2)  # "crash" after wave 2
+    assert partial.waves == 2
+    assert not partial.frontier.isEmpty()
+
+    eng2, _ = make_engine(spark, tmp_path / "a", works, edges, budget=1,
+                          durable=True)
+    resumed = eng2.run(resume=True)
+
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(resumed, want)
+
+
+def test_resume_ignores_uncommitted_wave(spark, tmp_path):
+    """A wave directory without _COMMIT (mid-write crash) is invisible."""
+    import shutil
+
+    edges = chain_graph(n=4)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    eng1, urls = make_engine(spark, tmp_path / "b", works, edges, budget=1,
+                             durable=True)
+    eng1.run(max_waves=3)
+    chk = tmp_path / "b" / "chk"
+    # simulate a torn wave-4 write: copy wave-3 dir, remove the marker
+    shutil.copytree(chk / "wave=3", chk / "wave=4")
+    (chk / "wave=4" / "_COMMIT").unlink()
+
+    eng2, _ = make_engine(spark, tmp_path / "b", works, edges, budget=1,
+                          durable=True)
+    assert eng2.store.latest_wave() == 3
+    resumed = eng2.run(resume=True)
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(resumed, want)

@@ -1,0 +1,165 @@
+"""Training-data pipeline operator tests: text, dedup, ANN, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moca_spark.pipeline.ann import brute_force_topk, ivf_topk, lsh_topk
+from moca_spark.pipeline.dedup import (
+    cosine_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    shingles,
+    simhash_near_dups,
+)
+from moca_spark.pipeline.multimodal import (
+    image_features,
+    phash_near_dups,
+    resize_images,
+    verify_images,
+)
+from moca_spark.pipeline.text import with_text_features
+from moca_spark.sources.synth import images_for_urls
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "The quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+    (4, "Der schnelle braune Fuchs springt und das ist ein ganz anderer Satz hier"),
+    (5, "completely different content about spark dataframes and shuffle behavior"),
+    (6, "  the   QUICK brown fox jumps over the lazy dog near the river bank today "),  # ws/case dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups[1] == 3  # 1, 2, 6 collapse after normalization
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = shingles(docs, n=3)
+    pairs = spark.createDataFrame([(1, 3)], ["a", "b"])
+    j = jaccard_pairs(sh, pairs).collect()[0]
+    # 14 words -> 12 shingles; docs 1 and 3 differ in the 13th word
+    # ("bank" -> "bend") -> 2 shingles touched: intersection 10, union 14
+    assert j.n_a == 12 and j.n_b == 12
+    assert j.n_inter == 10
+    assert abs(j.jaccard - 10 / 14) < 1e-6
+
+
+def test_minhash_near_dups(docs):
+    out = minhash_near_dups(docs, num_perm=32, bands=8, threshold=0.5)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs and (2, 6) in pairs  # exact dups
+    assert (1, 3) in pairs  # near dup (jaccard 0.6)
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    out = simhash_near_dups(docs)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert {(1, 2), (1, 6), (2, 6)} <= pairs  # identical after normalize
+    assert not any(5 in p for p in pairs)
+
+
+def test_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.a, r.b): r.cosine for r in cosine_pairs(emb, threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 3) not in out
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(60, 8)).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_corpus):
+    corpus, vecs = emb_corpus
+    q = spark.createDataFrame([(0, [float(x) for x in vecs[0]])],
+                              ["q_id", "embedding"])
+    got = [r.vec_id for r in brute_force_topk(q, corpus, k=5).orderBy("rnk").collect()]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+    assert got == [int(w) for w in want]
+
+
+def test_lsh_topk_recall(spark, emb_corpus):
+    corpus, vecs = emb_corpus
+    q = spark.createDataFrame([(0, [float(x) for x in vecs[0]])],
+                              ["q_id", "embedding"])
+    exact = {r.vec_id for r in brute_force_topk(q, corpus, k=5).collect()}
+    approx = {r.vec_id for r in lsh_topk(q, corpus, dim=8, k=5, bits=16, bands=8).collect()}
+    assert len(exact & approx) >= 3  # recall >= 0.6 with generous bands
+    assert 0 in approx  # the vector itself always found
+
+
+def test_ivf_topk_finds_self(spark, emb_corpus):
+    corpus, vecs = emb_corpus
+    q = spark.createDataFrame([(7, [float(x) for x in vecs[7]])],
+                              ["q_id", "embedding"])
+    got = ivf_topk(q, corpus, dim=8, k=3, n_cells=8, n_probe=4).collect()
+    assert got and got[0].vec_id == 7 and got[0].cosine == 1.0
+
+
+def test_text_features(spark, docs):
+    out = {r.doc_id: r for r in with_text_features(docs).collect()}
+    assert out[4].lang_pred == "de"
+    assert out[1].lang_pred == "en"
+    assert out[1].fingerprint == out[2].fingerprint == out[6].fingerprint
+    assert out[1].n_words == 14
+    assert 0.0 <= out[1].quality <= 1.0
+    assert out[1].n_tokens >= 13
+
+
+def test_verify_and_features_images(spark):
+    urls = [f"http://img.test/{i}" for i in range(8)]
+    images = images_for_urls(spark, urls)
+    v = verify_images(images).collect()
+    assert len(v) == 8
+    assert all(r.decoded and r.psnr_ok and r.phash_match for r in v)
+    feats = image_features(images).collect()
+    assert all(0 <= r.brightness <= 255 for r in feats)
+    ph = {r.image_id: r.phash for r in feats}
+    want = {r.image_id: r.phash for r in images.select("image_id", "phash").collect()}
+    assert ph == want
+
+
+def test_resize_images(spark):
+    images = images_for_urls(spark, ["http://img.test/r1"])
+    out = resize_images(images, 8, 8).collect()[0]
+    from moca_spark.sources.png import decode_png
+
+    assert decode_png(bytes(out.bytes)).shape == (8, 8, 3)
+
+
+def test_phash_near_dups(spark):
+    images = images_for_urls(spark, [f"http://img.test/{i}" for i in range(6)])
+    # duplicate one image under a different id: hamming 0 pair must appear
+    dup = images.limit(1).withColumn("image_id", F.lit("dup-of-first"))
+    all_imgs = images.unionByName(dup)
+    pairs = phash_near_dups(all_imgs, max_hamming=2).collect()
+    assert any(r.hamming == 0 for r in pairs)
+
+
+def test_no_row_python_in_pipeline_plans(spark, docs):
+    plan = minhash_near_dups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,38 +1,740 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the full crawl engine over a link graph
+                     derived deterministically from the sf0.001 tables.
+``queries()``      — one entry per implemented operator family from
+                     SURVEY.md §2 + the training-data pipeline ops,
+                     each over the driver's parquet tables.
+``oracle_sql()``   — DuckDB twins. Portable building blocks only:
+                     md5-prefix 60-bit hashes, rounded doubles,
+                     string-formatted timestamps. For the crawl engine
+                     itself the oracle is the independent single-threaded
+                     reference crawler (moca_spark/crawl/oracle.py),
+                     emitted as a VALUES literal.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moca_spark.pipeline.dedup import (
+    MERSENNE31,
+    _perm_params,
+    jaccard_pairs,
+    minhash_signatures,
+    normalize_text,
+    portable_hash60,
+    shingles,
+    simhash,
+)
+from moca_spark.pipeline.text import (
+    _LANG_MARKERS,
+    TOKEN_REGEX,
+    lang_id,
+    quality_score,
+    token_count,
+    word_count,
+)
+
+NUM_PERM = 8
+SIMHASH_BITS = 16
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# entry — flagship: crawl a graph derived from sf0.001 (smoke check)
+# =========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl a deterministic link graph derived from the sf0.001 star
+    schema: every customer is a host, every order a page; orders chain
+    per customer (BFS ladder) and every 5th order links to the next
+    customer's first page (cross-host handoff, D5). Fetch corpus =
+    synthesized image+caption rows (input_hint schema). Returns the
+    crawl results table."""
+    from moca_spark.crawl.engine import CrawlEngine
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.sources.synth import images_distributed
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 29 == 0)
+
+    pages = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.concat(
+            F.lit("http://c"), F.col("o_custkey"), F.lit(".test/o"),
+            F.col("o_orderkey"),
+        ).alias("url"),
+    )
+    w = Window.partitionBy("ck").orderBy("ok")
+    chain = pages.withColumn("nxt", F.lead("url").over(w)) \
+        .filter(F.col("nxt").isNotNull()) \
+        .select(F.col("url").alias("src_url"), F.col("nxt").alias("dst_url"))
+    firsts = pages.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1).select("ck", F.col("url").alias("first_url"))
+    wck = Window.orderBy("ck")
+    cross = (
+        firsts.withColumn("nxt_first", F.lead("first_url").over(wck))
+        .filter(F.col("nxt_first").isNotNull())
+        .join(pages.filter(F.col("ok") % 5 == 0), "ck")
+        .select(F.col("url").alias("src_url"), F.col("nxt_first").alias("dst_url"))
+    )
+    links = chain.unionByName(cross)
+
+    all_urls = links.select(F.col("src_url").alias("url")).unionByName(
+        links.select(F.col("dst_url").alias("url"))
+    ).unionByName(firsts.select(F.col("first_url").alias("url"))).distinct()
+    images = images_distributed(spark, all_urls)
+
+    seeds = [r.first_url for r in firsts.orderBy("ck").limit(4).collect()]
+    eng = CrawlEngine(spark, links, images, budget=3, durable=False, n_salts=4)
+    eng.add_works(
+        [Work(f"w{i}", u, CriteriaSpec(max_depth=3)) for i, u in enumerate(seeds)]
+    )
+    res = eng.run(max_waves=6)
+    return res.results.select(
+        "run_id", "wave", "host", "rank", "url", "depth", "fetched",
+        "content_hash", "caption",
+    )
+
+
+# =========================================================================
+# queries — Spark implementations
+# =========================================================================
+
+def _q01_wave_slice_topk(spark, sf_dir):
+    """D1/D2/T1: per-host politeness slice = top-3 per group by order.
+    (orders: host=o_custkey, queue order=(o_orderdate, o_orderkey))."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "rnk", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+def _q02_seen_antijoin(spark, sf_dir):
+    """J1: seen-set anti-join — candidates (customers) not present in
+    the 'seen' side (customers who placed a large order)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    seen = o.filter(F.col("o_totalprice") > 150_000)
+    return (
+        c.join(seen, c.c_custkey == seen.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q03_busy_semijoin(spark, sf_dir):
+    """J5: busy-partition semi-join (suppliers having lineitems)."""
+    s, li = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi") \
+        .select("s_suppkey", "s_name")
+
+
+def _q04_min_depth_merge(spark, sf_dir):
+    """J4/A2: min-depth merge per key (earliest shipdate per order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def _q05_depth_classify(spark, sf_dir):
+    """J3: 3-way depth-status classify (event vs user's best-known ts)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        e.join(firsts, "user_id")
+        .withColumn(
+            "status",
+            F.when(F.col("ts") == F.col("first_ts"), "new")
+            .otherwise("ignored"),
+        )
+        .groupBy("event_type", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q06_shallowest_group(spark, sf_dir):
+    """A3: shallowest-group selection — rows at each group's min depth
+    (orders on the customer's earliest order date)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("min_date", F.min("o_orderdate").over(w))
+        .filter(F.col("o_orderdate") == F.col("min_date"))
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+def _q07_latest_top1(spark, sf_dir):
+    """D4: latest-final-result top-1 per key (latest event per user)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q08_dedup_rownum(spark, sf_dir):
+    """J7: duplicate cleanup keeping the canonical row
+    (min linenumber per (orderkey, partkey))."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+def _q09_transfer_concat(spark, sf_dir):
+    """A4: ordered concat of partial transfers (union of two slices)."""
+    o = _t(spark, sf_dir, "orders")
+    lo = o.filter(F.col("o_totalprice") < 50_000)
+    hi = o.filter(F.col("o_totalprice") > 150_000)
+    return lo.unionByName(hi).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _q10_run_exists(spark, sf_dir):
+    """A6: run-exists check (parts never shipped in bulk: no lineitem
+    with quantity > 45)."""
+    p, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") > 45)
+    return (
+        p.join(bulk, p.p_partkey == bulk.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_unused"))
+    )
+
+
+def _q11_robots_prefix(spark, sf_dir):
+    """R6/R9: prefix-rule filtering (disallow-prefix semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").startswith("key")) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def _q12_content_hash(spark, sf_dir):
+    """P2/P8: content hashing (md5 as the portable stand-in for the
+    SHA-1 id of Url.scala:16-20 — same shape, DuckDB-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
+    )
+
+
+def _q13_tpch_q1(spark, sf_dir):
+    """Catalyst muscle: TPC-H Q1-style aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q14_revenue_join(spark, sf_dir):
+    """3-way join: top-10 orders by revenue (broadcast dims, shuffled fact)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _q15_events_window(spark, sf_dir):
+    """T-analog: tumbling-window aggregation (hourly event stats)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q16_dedup_exact(spark, sf_dir):
+    """Exact dedup: portable 60-bit fingerprint of normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint",
+                     portable_hash60(normalize_text(F.col("text"))))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _q17_shingles(spark, sf_dir):
+    """Shingling: 3-gram counts per doc (window-free slice/transform)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = shingles(d, "text", n=3, id_col="doc_id")
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle_hash").alias("n_distinct"),
+    )
+
+
+def _q18_minhash_sig(spark, sf_dir):
+    """MinHash signatures (8 perms, portable linear permutations)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = shingles(d, "text", n=3, id_col="doc_id")
+    return minhash_signatures(sh, num_perm=NUM_PERM, id_col="doc_id")
+
+
+def _q19_simhash(spark, sf_dir):
+    """SimHash (16-bit) per doc."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return simhash(d, "text", id_col="doc_id", bits=SIMHASH_BITS)
+
+
+def _q20_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard similarity: top-20 most similar doc pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = shingles(d, "text", n=3, id_col="doc_id")
+    a = sh.select(F.col("doc_id").alias("a"), "shingle_hash").distinct()
+    b = sh.select(F.col("doc_id").alias("b"), "shingle_hash").distinct()
+    pairs = a.join(b, "shingle_hash").filter(F.col("a") < F.col("b")) \
+        .select("a", "b").distinct()
+    jp = jaccard_pairs(sh, pairs, id_col="doc_id")
+    return (
+        jp.orderBy(F.desc("jaccard"), "a", "b").limit(20)
+        .select("a", "b", "n_inter", "jaccard")
+    )
+
+
+def _q21_cosine_topk(spark, sf_dir):
+    """ANN baseline: exact cosine top-5 for 3 query vectors. Rank is
+    computed on the 4-dp-rounded cosine so Spark and DuckDB break ties
+    identically."""
+    emb = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("cv"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    scored = q.crossJoin(c).withColumn(
+        "cosine",
+        F.round(dot(F.col("qv"), F.col("cv")) /
+                (norm(F.col("qv")) * norm(F.col("cv"))), 4),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def _q22_text_features(spark, sf_dir):
+    """Token counting + quality scoring (JVM-side column algebra)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        word_count(t).alias("n_words"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def _q23_lang_id(spark, sf_dir):
+    """Heuristic language-ID confusion counts vs the true lang label."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", lang_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q24_crawl_fixture(spark, sf_dir):
+    """The crawl engine itself on the README diamond fixture; oracle =
+    the independent single-threaded reference crawler emitted as SQL
+    VALUES (FIXTURES.md §6 golden crawl_order)."""
+    from moca_spark.crawl.engine import CrawlEngine
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.crawl.oracle import oracle_corpus_urls
+    from moca_spark.sources.synth import diamond_graph, images_for_urls, links_df
+
+    works = [Work("w1", "http://sitea.test/a", CriteriaSpec(max_depth=3))]
+    edges = diamond_graph()
+    urls = oracle_corpus_urls(edges, works)
+    eng = CrawlEngine(
+        spark, links_df(spark, edges), images_for_urls(spark, sorted(urls)),
+        budget=1, durable=False, n_salts=2,
+    )
+    eng.add_works(works)
+    res = eng.run()
+    return res.crawl_order().select("host", "pos", "url", "depth")
+
+
+def _q25_lsh_topk(spark, sf_dir):
+    """Approximate ANN (random-hyperplane LSH). No SQL twin (seeded
+    numpy hyperplanes) → rows-only check."""
+    from moca_spark.pipeline.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    return lsh_topk(q, emb, dim=64, k=5, bits=16, bands=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_wave_slice_topk": _q01_wave_slice_topk,
+        "q02_seen_antijoin": _q02_seen_antijoin,
+        "q03_busy_semijoin": _q03_busy_semijoin,
+        "q04_min_depth_merge": _q04_min_depth_merge,
+        "q05_depth_classify": _q05_depth_classify,
+        "q06_shallowest_group": _q06_shallowest_group,
+        "q07_latest_top1": _q07_latest_top1,
+        "q08_dedup_rownum": _q08_dedup_rownum,
+        "q09_transfer_concat": _q09_transfer_concat,
+        "q10_run_exists": _q10_run_exists,
+        "q11_robots_prefix": _q11_robots_prefix,
+        "q12_content_hash": _q12_content_hash,
+        "q13_tpch_q1": _q13_tpch_q1,
+        "q14_revenue_join": _q14_revenue_join,
+        "q15_events_window": _q15_events_window,
+        "q16_dedup_exact": _q16_dedup_exact,
+        "q17_shingles": _q17_shingles,
+        "q18_minhash_sig": _q18_minhash_sig,
+        "q19_simhash": _q19_simhash,
+        "q20_jaccard_pairs": _q20_jaccard_pairs,
+        "q21_cosine_topk": _q21_cosine_topk,
+        "q22_text_features": _q22_text_features,
+        "q23_lang_id": _q23_lang_id,
+        "q24_crawl_fixture": _q24_crawl_fixture,
+        "q25_lsh_topk": _q25_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =========================================================================
+# oracle SQL twins (DuckDB)
+# =========================================================================
+
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+_H60 = "CAST(('0x' || substr(md5({c}),1,15)) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+docs AS (
+  SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') ws
+  FROM documents WHERE doc_id < {{lim}}
+),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws)-2, 0))) i
+  FROM docs
+),
+sh AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM idx
+),
+shh AS (
+  SELECT doc_id, shingle, {_H60.format(c='shingle')} AS shingle_hash FROM sh
+)
+"""
+
+
+def _lang_case_sql() -> str:
+    """CASE expression mirroring pipeline.text.lang_id."""
+    score = {
+        lang: " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '(^|[^a-z]){w}([^a-z]|$)') THEN 1 ELSE 0 END"
+            for w in ws
+        )
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    # replicate the fold: start with first lang, replace when strictly greater
+    expr_lang = f"'{langs[0]}'"
+    expr_score = f"({score[langs[0]]})"
+    for lang in langs[1:]:
+        s = f"({score[lang]})"
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return f"CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    perms_values = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_params(NUM_PERM))
+    sql = {
+        "q01_wave_slice_topk": """
+            SELECT o_custkey, rnk, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS odate
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "q02_seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 150000)
+        """,
+        "q03_busy_semijoin": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey)
+        """,
+        "q04_min_depth_merge": """
+            SELECT l_orderkey,
+                   strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "q05_depth_classify": """
+            WITH firsts AS (SELECT user_id, min(ts) first_ts
+                            FROM events GROUP BY user_id)
+            SELECT event_type,
+                   CASE WHEN ts = first_ts THEN 'new' ELSE 'ignored' END AS status,
+                   count(*) AS n
+            FROM events JOIN firsts USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q06_shallowest_group": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS odate
+            FROM (SELECT *, min(o_orderdate) OVER (PARTITION BY o_custkey) md
+                  FROM orders)
+            WHERE o_orderdate = md
+        """,
+        "q07_latest_top1": """
+            SELECT user_id, event_id, event_type
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "q08_dedup_rownum": """
+            SELECT l_returnflag, count(*) AS n_kept
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY l_orderkey, l_partkey
+                      ORDER BY l_linenumber) rn
+                  FROM lineitem)
+            WHERE rn = 1 GROUP BY 1
+        """,
+        "q09_transfer_concat": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM (SELECT * FROM orders WHERE o_totalprice < 50000
+                  UNION ALL
+                  SELECT * FROM orders WHERE o_totalprice > 150000)
+            GROUP BY 1
+        """,
+        "q10_run_exists": """
+            SELECT p_brand, count(*) AS n_unused FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey
+                                AND l.l_quantity > 45)
+            GROUP BY 1
+        """,
+        "q11_robots_prefix": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE text LIKE 'key%'
+        """,
+        "q12_content_hash": """
+            SELECT doc_id, md5(text) AS content_hash
+            FROM documents WHERE doc_id < 10
+        """,
+        "q13_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "q14_revenue_join": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem GROUP BY 1)
+            SELECT o_orderkey, c_name, revenue
+            FROM orders JOIN rev ON o_orderkey = l_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q15_events_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q16_dedup_exact": f"""
+            SELECT {_H60.format(c=_NORM.format(c='text'))} AS fingerprint,
+                   count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "q17_shingles": f"""
+            WITH {_SHINGLES_CTE.format(lim=40)}
+            SELECT doc_id, count(*) AS n_shingles,
+                   count(DISTINCT shingle_hash) AS n_distinct
+            FROM shh GROUP BY doc_id
+        """,
+        "q18_minhash_sig": f"""
+            WITH {_SHINGLES_CTE.format(lim=40)},
+            perms(perm, a, b) AS (VALUES {perms_values})
+            SELECT doc_id, perm,
+                   min((a * (shingle_hash % {MERSENNE31}) + b) % {MERSENNE31})
+                       AS minhash
+            FROM shh, perms GROUP BY 1, 2
+        """,
+        "q19_simhash": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     string_split({_NORM.format(c='text')}, ' ') ws
+              FROM documents WHERE doc_id < 40
+            ),
+            toks AS (SELECT doc_id, unnest(ws) tok FROM docs),
+            th AS (SELECT doc_id, {_H60.format(c='tok')} AS h FROM toks),
+            bits AS (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) b),
+            contrib AS (
+              SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) s
+              FROM th, bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM contrib GROUP BY doc_id
+        """,
+        "q20_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE.format(lim=60)},
+            ds AS (SELECT DISTINCT doc_id, shingle_hash FROM shh),
+            sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id a, y.doc_id b, count(*) n_inter
+              FROM ds x JOIN ds y USING (shingle_hash)
+              WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+            SELECT a, b, n_inter,
+                   round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            ORDER BY jaccard DESC, a, b LIMIT 20
+        """,
+        "q21_cosine_topk": """
+            WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, embedding::DOUBLE[] cv FROM embeddings),
+            scored AS (
+              SELECT q_id, vec_id,
+                     round(list_cosine_similarity(qv, cv), 4) AS cosine
+              FROM q CROSS JOIN c)
+            SELECT q_id, vec_id, cosine, rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) rnk
+                  FROM scored)
+            WHERE rnk <= 5
+        """,
+        "q22_text_features": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                     length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+              FROM documents WHERE doc_id < 50)
+            SELECT doc_id, n_tokens, n_words,
+                   round(
+                     0.25 * (CASE WHEN n BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                   + 0.5 * (alpha * 1.0 / greatest(n, 1))
+                   + 0.15 * (CASE WHEN punct * 1.0 / greatest(n_words, 1) <= 0.3
+                             THEN 1.0 ELSE 0.0 END)
+                   + 0.1 * (CASE WHEN alpha * 1.0 / greatest(n_words, 1)
+                                 BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                   , 6) AS quality
+            FROM f
+        """,
+        "q23_lang_id": f"""
+            SELECT lang, {_lang_case_sql()} AS lang_pred, count(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+    }
+    # q24: the independent python reference crawler, emitted as VALUES
+    sql["q24_crawl_fixture"] = _crawl_fixture_oracle_values()
+    # q25_lsh_topk: seeded-numpy hyperplanes — not SQL-expressible,
+    # intentionally omitted (driver records rows-only check).
+    return sql
+
+
+def _crawl_fixture_oracle_values() -> str:
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.crawl.oracle import oracle_corpus_urls, oracle_crawl
+    from moca_spark.sources.synth import diamond_graph
+
+    works = [Work("w1", "http://sitea.test/a", CriteriaSpec(max_depth=3))]
+    edges = diamond_graph()
+    res = oracle_crawl(works, edges, budget=1,
+                       corpus_urls=oracle_corpus_urls(edges, works))
+    rows = ", ".join(
+        f"('{r['host']}', {r['pos']}, '{r['url']}', {r['depth']})"
+        for r in res.crawl_order
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(host, pos, url, depth)"
+    )

@@ -95,7 +95,7 @@ def entry(spark: SparkSession) -> DataFrame:
     all_urls = links.select(F.col("src_url").alias("url")).unionByName(
         links.select(F.col("dst_url").alias("url"))
     ).unionByName(firsts.select(F.col("first_url").alias("url"))).distinct()
-    images = images_distributed(spark, all_urls)
+    images = images_distributed(spark, all_urls).cache()
 
     seeds = [r.first_url for r in firsts.orderBy("ck").limit(4).collect()]
     eng = CrawlEngine(spark, links, images, budget=3, durable=False, n_salts=4)

@@ -1,0 +1,125 @@
+"""Shared benchmark kernels (used by bench.py and tools/scaling_bench.py).
+
+The north-star metric (BASELINE.json) is *frontier URLs
+scheduled+deduped per second* on a synthetic Zipf-skewed frontier. The
+kernel below is exactly the per-wave hot path of the crawl engine:
+
+  schedule: salted two-phase top-K per host     (operators/wave.py)
+  dedup:    candidate consolidation + anti-join vs seen (J1/J2)
+  merge:    min-(depth,seq) frontier merge      (engine step 6)
+
+Inputs are generated lazily with ``spark.range`` (sources/synth.py
+scale_frontier) — zero driver memory, any scale. Work is forced with a
+``noop`` write so we time compute + shuffle, not a sink.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from moca_spark.operators.wave import top_k_per_host
+from moca_spark.sources.synth import scale_frontier
+
+
+def _force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def frontier_schedule_dedup(
+    spark: SparkSession,
+    n_frontier: int = 2_000_000,
+    n_candidates: int = 2_000_000,
+    n_hosts: int = 20_000,
+    budget: int = 100,
+    partitions: int = 64,
+) -> dict:
+    """One full scheduling+dedup round at scale; returns throughput."""
+    frontier = scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1) \
+        .withColumn("run_id", F.lit("bench"))
+    # seen = half the candidate id space -> ~50% dedup hit rate
+    seen = (
+        scale_frontier(spark, n_candidates // 2, n_hosts, partitions, seed=2)
+        .select("url", F.col("depth").alias("best_depth"))
+        .withColumn("run_id", F.lit("bench"))
+    )
+    candidates = (
+        scale_frontier(spark, n_candidates, n_hosts, partitions, seed=2)
+        .select("url", "host", "depth",
+                (F.col("seq") % 100 + 1).alias("parent_rank"))
+        .withColumn("run_id", F.lit("bench"))
+    )
+
+    t0 = time.time()
+    # SCHEDULE: politeness-bounded per-host priority-queue heads
+    sliced = top_k_per_host(frontier, budget, n_salts=16)
+    _force(sliced)
+    t_sched = time.time() - t0
+
+    t1 = time.time()
+    # DEDUP: consolidate per url, exact anti-join classification vs seen
+    cand2 = (
+        candidates.groupBy("run_id", "url", "host")
+        .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+        .select("run_id", "url", "host",
+                F.col("m.depth").alias("depth"),
+                F.col("m.parent_rank").alias("parent_rank"))
+    )
+    fresh = (
+        cand2.join(seen, ["run_id", "url"], "left")
+        .filter(F.col("best_depth").isNull() |
+                (F.col("depth") < F.col("best_depth")))
+        .select("run_id", "url", "host", "depth",
+                (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
+    )
+    # MERGE: min-(depth,seq) per url over rest + fresh
+    rest = frontier.join(sliced.select("run_id", "url"),
+                         ["run_id", "url"], "left_anti")
+    merged = (
+        rest.unionByName(fresh)
+        .groupBy("run_id", "url")
+        .agg(F.min(F.struct("depth", "seq")).alias("m"),
+             F.first("host").alias("host"))
+    )
+    _force(merged)
+    t_dedup = time.time() - t1
+
+    total = time.time() - t0
+    processed = n_frontier + n_candidates
+    return {
+        "n_frontier": n_frontier,
+        "n_candidates": n_candidates,
+        "n_hosts": n_hosts,
+        "schedule_sec": round(t_sched, 2),
+        "dedup_merge_sec": round(t_dedup, 2),
+        "total_sec": round(total, 2),
+        "urls_per_sec": round(processed / total),
+    }
+
+
+def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
+                     pages_per_host: int = 40) -> dict:
+    """Small end-to-end crawl (engine, memory mode) on a Zipf graph."""
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.crawl.engine import CrawlEngine
+    from moca_spark.sources.synth import images_distributed, links_df, zipf_graph
+
+    edges = zipf_graph(n_hosts=n_hosts, pages_per_host=pages_per_host)
+    links = links_df(spark, edges)
+    urls = links.select(F.col("src_url").alias("url")).unionByName(
+        links.select(F.col("dst_url").alias("url"))).distinct()
+    # the corpus is scanned every wave: cache it (stand-in for the
+    # Iceberg table scan; PNG synthesis must not re-run per wave)
+    images = images_distributed(spark, urls).cache()
+    images.count()
+    eng = CrawlEngine(spark, links, images, budget=20, durable=False, n_salts=4)
+    eng.add_works([Work(f"w{i}", f"http://host{i}.test/p0", CriteriaSpec(max_depth=4))
+                   for i in range(6)])
+    t0 = time.time()
+    res = eng.run(max_waves=8)
+    n = res.results.count()
+    dt = time.time() - t0
+    return {"fetched": n, "waves": res.waves, "sec": round(dt, 2),
+            "fetch_per_sec": round(n / dt, 1)}

@@ -122,6 +122,9 @@ class CrawlEngine:
         self.store = CheckpointStore(spark, self.checkpoint_dir)
         # Canonicalize the graph once: both endpoints normalized, invalid
         # dropped (R9 scheme whitelist happens inside canonicalize).
+        # Cache: the normalized graph is re-joined every wave; in a real
+        # deployment this is a one-time normalized-table write. (The
+        # pandas-UDF canonicalization would otherwise re-run per wave.)
         self.links = (
             links.select(
                 canonicalize_udf("src_url").alias("src_url"),
@@ -129,6 +132,7 @@ class CrawlEngine:
             )
             .filter(F.col("src_url").isNotNull() & F.col("dst_url").isNotNull())
             .distinct()
+            .cache()
         )
         self.runs: list[dict] = []
         self.custom_by_name: dict[str, tuple[str, ...]] = {}
@@ -222,7 +226,7 @@ class CrawlEngine:
 
     def _commit(
         self, wave: int, frontier: DataFrame, seen: DataFrame,
-        results: DataFrame | None, metrics: DataFrame | None,
+        results: DataFrame | None = None, metrics: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Durable mode: atomic wave snapshot (exactly-once resume).
         Memory mode: localCheckpoint truncates lineage, results kept as
@@ -237,6 +241,16 @@ class CrawlEngine:
             frontier.localCheckpoint(eager=True),
             seen.localCheckpoint(eager=True),
         )
+
+    def _checkpoint_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
+        """Materialize a per-wave append table once; downstream reads
+        (metrics derivation, final union) reuse the checkpoint instead
+        of recomputing the fetch join."""
+        if self.durable:
+            return self.store.write_increment(wave, name, df)
+        c = df.localCheckpoint(eager=True)
+        (self._results_acc if name == "results" else self._metrics_acc).append(c)
+        return c
 
     @staticmethod
     def _seen_key(run_col: str = "run_id", url_col: str = "url") -> F.Column:
@@ -387,9 +401,12 @@ class CrawlEngine:
                     F.col("m.seq").alias("seq"))
         )
 
-        # metrics: per (wave, host) lineage + counters (A7 north rule)
+        # 7. COMMIT — results first (one materialization), metrics
+        #    derived from the checkpointed results (A7 lineage), then
+        #    the state snapshot + marker (the atomic journal commit)
+        results_c = self._checkpoint_increment(wave, "results", results_w)
         metrics_w = (
-            results_w.groupBy("host")
+            results_c.groupBy("host")
             .agg(
                 F.count("*").alias("scheduled"),
                 F.sum(F.col("fetched").cast("long")).alias("fetched"),
@@ -397,8 +414,7 @@ class CrawlEngine:
             .withColumn("wave", F.lit(wave))
             .withColumn("partition_id", F.spark_partition_id())
         )
-
-        # 7. COMMIT — one atomic wave snapshot (journal + state)
-        out = self._commit(wave, frontier_new, seen_new, results_w, metrics_w)
+        self._checkpoint_increment(wave, "metrics", metrics_w)
+        out = self._commit(wave, frontier_new, seen_new)
         sliced.unpersist()
         return out

@@ -69,10 +69,12 @@ class CheckpointStore:
         extra: dict | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Write one wave transactionally; returns re-read (checkpointed)
-        frontier/seen so the caller's lineage is truncated to a scan."""
+        frontier/seen so the caller's lineage is truncated to a scan.
+        Increments (results/metrics) may have been pre-written via
+        ``write_increment``; uncommitted leftovers from a crash are
+        simply overwritten subdir-by-subdir (every wave writes the same
+        four subdirs, and readers ignore marker-less waves)."""
         d = self._wave_dir(wave)
-        if os.path.isdir(d):  # uncommitted leftover from a crash
-            shutil.rmtree(d)
         frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
         seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
         if results is not None:
@@ -87,6 +89,13 @@ class CheckpointStore:
             self.spark.read.parquet(os.path.join(d, "frontier")),
             self.spark.read.parquet(os.path.join(d, "seen")),
         )
+
+    def write_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
+        """Write a per-wave append table (results/metrics) ahead of the
+        commit marker; returns the re-read frame (lineage truncation)."""
+        d = os.path.join(self._wave_dir(wave), name)
+        df.write.mode("overwrite").parquet(d)
+        return self.spark.read.parquet(d)
 
     def load_wave(self, wave: int) -> tuple[DataFrame, DataFrame]:
         d = self._wave_dir(wave)

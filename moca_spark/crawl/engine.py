@@ -100,6 +100,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         bloom_capacity: int = 1_000_000,
         use_token_bucket: bool = False,
+        partition_selector=None,
     ):
         self.spark = spark
         self.images = images
@@ -111,6 +112,11 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_capacity = bloom_capacity
         self.use_token_bucket = use_token_bucket
+        # U3 partition selector (partition/PartitionSelector.scala:6-16;
+        # default = ByHostPartitionSelector): Column -> partition key.
+        # The frontier 'host' column IS the partition key; criteria
+        # filters keep using the real URL host/domain.
+        self.partition_selector = partition_selector or url_host
         self._bloom: BloomFilter | None = (
             BloomFilter(bloom_capacity) if use_bloom else None
         )
@@ -174,7 +180,7 @@ class CrawlEngine:
         frontier = runs.select(
             "run_id",
             F.col("seed_url").alias("url"),
-            url_host(F.col("seed_url")).alias("host"),
+            self.partition_selector(F.col("seed_url")).alias("host"),
             F.lit(0).alias("depth"),
             F.col("seed_seq").alias("seq"),
         )
@@ -352,7 +358,9 @@ class CrawlEngine:
             )
         )
         fresh_cols = [
-            "run_id", "url", "host", "depth",
+            "run_id", "url",
+            self.partition_selector(F.col("url")).alias("host"),
+            "depth",
             (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
         ]
         if self._bloom is not None:

@@ -75,12 +75,15 @@ def oracle_crawl(
     budget: int = 8,
     corpus_urls: set[str] | None = None,
     max_waves: int = 1000,
+    partition_fn=None,
 ) -> OracleResult:
     """Crawl the synthetic graph exactly as the reference would.
 
     ``corpus_urls``: URLs that have an image row (fetch succeeds);
     None means every URL fetches successfully.
     """
+    # U3 partition selector — default by-host (ByHostPartitionSelector)
+    part = partition_fn or _host
     links: dict[str, list[str]] = {}
     for s, d in edges:
         cs, cd = canonicalize_str(s), canonicalize_str(d)
@@ -108,7 +111,7 @@ def oracle_crawl(
         # --- wave slice: per host, (depth, seq, run_id, url) order, top B
         by_host: dict[str, list] = {}
         for (rid, url), (depth, seq) in frontier.items():
-            by_host.setdefault(_host(url), []).append((depth, seq, rid, url))
+            by_host.setdefault(part(url), []).append((depth, seq, rid, url))
         sliced: list[tuple[str, int, str, str, int, int]] = []  # host,rank,rid,url,depth,seq
         for host, items in by_host.items():
             items.sort()

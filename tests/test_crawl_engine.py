@@ -353,3 +353,35 @@ def test_resume_ignores_uncommitted_wave(spark, tmp_path):
     resumed = eng2.run(resume=True)
     want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
     assert_match(resumed, want)
+
+
+def test_partition_selector_by_domain(spark, tmp_path):
+    """U3 (partition/PartitionSelector.scala): a by-domain selector makes
+    two hosts of one domain share a single politeness budget."""
+    from moca_spark.functions.psl import effective_domain
+    from moca_spark.functions.urls import domain_udf, url_host
+
+    edges = [
+        ("http://a.dom.test/x", "http://a.dom.test/y"),
+        ("http://a.dom.test/x", "http://b.dom.test/z"),
+        ("http://b.dom.test/z", "http://b.dom.test/w"),
+    ]
+    works = [W("w1", "http://a.dom.test/x", max_depth=4)]
+    eng, urls = make_engine(
+        spark, tmp_path, works, edges, budget=1,
+        partition_selector=lambda c: domain_udf(url_host(c)),
+    )
+    got = eng.run()
+    from moca_spark.crawl.oracle import _host
+
+    want = oracle_crawl(
+        works, edges, budget=1, corpus_urls=urls,
+        partition_fn=lambda u: effective_domain(_host(u)),
+    )
+    assert_match(got, want)
+    # budget 1 for the whole domain: exactly one fetch per wave
+    by_wave = {}
+    for r in want.crawl_order:
+        by_wave.setdefault(r["wave"], []).append(r)
+    assert all(len(v) == 1 for v in by_wave.values())
+    assert {r["host"] for r in want.crawl_order} == {"dom.test"}

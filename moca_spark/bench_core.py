@@ -35,8 +35,15 @@ def frontier_schedule_dedup(
     n_hosts: int = 20_000,
     budget: int = 100,
     partitions: int = 64,
+    materialize_dir: str | None = None,
 ) -> dict:
-    """One full scheduling+dedup round at scale; returns throughput."""
+    """One full scheduling+dedup round at scale; returns throughput.
+
+    With ``materialize_dir`` the synthetic inputs are written to parquet
+    first (untimed) and the kernel is timed over table scans — the
+    cluster-faithful shape (the frontier IS a checkpointed table, read
+    each wave). Without it, inputs regenerate lazily inside each stage
+    (still correct, but generation cost is included in the timing)."""
     frontier = scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1) \
         .withColumn("run_id", F.lit("bench"))
     # seen = half the candidate id space -> ~50% dedup hit rate
@@ -51,6 +58,13 @@ def frontier_schedule_dedup(
                 (F.col("seq") % 100 + 1).alias("parent_rank"))
         .withColumn("run_id", F.lit("bench"))
     )
+    if materialize_dir:
+        for name, df in (("frontier", frontier), ("seen", seen),
+                         ("candidates", candidates)):
+            df.write.mode("overwrite").parquet(f"{materialize_dir}/{name}")
+        frontier = spark.read.parquet(f"{materialize_dir}/frontier")
+        seen = spark.read.parquet(f"{materialize_dir}/seen")
+        candidates = spark.read.parquet(f"{materialize_dir}/candidates")
 
     t0 = time.time()
     # SCHEDULE: politeness-bounded per-host priority-queue heads

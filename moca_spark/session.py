@@ -16,8 +16,33 @@ written for a 1000-executor cluster reading 100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Make ``moca_spark`` importable on executors regardless of cwd:
+    zip the package and ``addPyFile`` it — the programmatic equivalent
+    of ``spark-submit --py-files moca_spark.zip`` (the north rule's
+    deployment mode). Python workers unpickling pandas UDFs import
+    from this archive."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running from a --py-files zip: executors got it from
+        # spark-submit, nothing to ship
+        return pkg_dir
+    root = os.path.dirname(pkg_dir)
+    z = os.path.join(tempfile.mkdtemp(prefix="moca-pyfiles-"), "moca_spark.zip")
+    with zipfile.ZipFile(z, "w") as f:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    f.write(p, os.path.relpath(p, root))
+    spark.sparkContext.addPyFile(z)
+    return z
 
 
 def get_spark(
@@ -47,4 +72,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

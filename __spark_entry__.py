@@ -426,6 +426,40 @@ def _q24_crawl_fixture(spark, sf_dir):
     return res.crawl_order().select("host", "pos", "url", "depth")
 
 
+_ROBOTS_FIXTURE = {
+    "edges": [
+        ("http://ra.test/", "http://ra.test/private/a"),
+        ("http://ra.test/", "http://ra.test/pub/b"),
+        ("http://ra.test/pub/b", "http://rb.test/x"),
+        ("http://rb.test/x", "http://other.test/y"),
+    ],
+    "robots": [("ra.test", "/private")],
+}
+
+
+def _q26_crawl_robots(spark, sf_dir):
+    """Crawl with robots-txt + max-depth criteria; oracle = the
+    reference crawler as VALUES (exercises R6/R2 inside the engine)."""
+    from moca_spark.crawl.engine import CrawlEngine
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.crawl.oracle import oracle_corpus_urls
+    from moca_spark.sources.synth import images_for_urls, links_df
+
+    works = [Work("w1", "http://ra.test/",
+                  CriteriaSpec(max_depth=3, robots_txt=True))]
+    edges = _ROBOTS_FIXTURE["edges"]
+    urls = oracle_corpus_urls(edges, works)
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE["robots"],
+                                   ["host", "disallow_prefix"])
+    eng = CrawlEngine(
+        spark, links_df(spark, edges), images_for_urls(spark, sorted(urls)),
+        robots, budget=2, durable=False, n_salts=2,
+    )
+    eng.add_works(works)
+    res = eng.run()
+    return res.crawl_order().select("host", "pos", "url", "depth")
+
+
 def _q25_lsh_topk(spark, sf_dir):
     """Approximate ANN (random-hyperplane LSH). No SQL twin (seeded
     numpy hyperplanes) → rows-only check."""
@@ -465,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_id": _q23_lang_id,
         "q24_crawl_fixture": _q24_crawl_fixture,
         "q25_lsh_topk": _q25_lsh_topk,
+        "q26_crawl_robots": _q26_crawl_robots,
     }
 
 
@@ -715,26 +750,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
     }
-    # q24: the independent python reference crawler, emitted as VALUES
-    sql["q24_crawl_fixture"] = _crawl_fixture_oracle_values()
+    # q24/q26: the independent python reference crawler, emitted as
+    # VALUES literals (engine vs single-threaded spec, not SQL-derivable)
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.sources.synth import diamond_graph
+
+    sql["q24_crawl_fixture"] = _crawl_oracle_values(
+        [Work("w1", "http://sitea.test/a", CriteriaSpec(max_depth=3))],
+        diamond_graph(), budget=1,
+    )
+    sql["q26_crawl_robots"] = _crawl_oracle_values(
+        [Work("w1", "http://ra.test/", CriteriaSpec(max_depth=3, robots_txt=True))],
+        _ROBOTS_FIXTURE["edges"], budget=2,
+        robots=_ROBOTS_FIXTURE["robots"],
+    )
     # q25_lsh_topk: seeded-numpy hyperplanes — not SQL-expressible,
     # intentionally omitted (driver records rows-only check).
     return sql
 
 
-def _crawl_fixture_oracle_values() -> str:
-    from moca_spark.criteria.dsl import CriteriaSpec, Work
+def _crawl_oracle_values(works, edges, budget, robots=None) -> str:
     from moca_spark.crawl.oracle import oracle_corpus_urls, oracle_crawl
-    from moca_spark.sources.synth import diamond_graph
 
-    works = [Work("w1", "http://sitea.test/a", CriteriaSpec(max_depth=3))]
-    edges = diamond_graph()
-    res = oracle_crawl(works, edges, budget=1,
+    res = oracle_crawl(works, edges, robots=robots, budget=budget,
                        corpus_urls=oracle_corpus_urls(edges, works))
     rows = ", ".join(
         f"('{r['host']}', {r['pos']}, '{r['url']}', {r['depth']})"
         for r in res.crawl_order
     )
-    return (
-        f"SELECT * FROM (VALUES {rows}) AS t(host, pos, url, depth)"
-    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(host, pos, url, depth)"

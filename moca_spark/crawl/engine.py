@@ -84,6 +84,23 @@ class CrawlResult:
             "host", "wave", "rank", "url", "depth", "run_id"
         ).withColumn("pos", F.row_number().over(w))
 
+    def final_links(self, run_id: str) -> DataFrame:
+        """GetLinks (entry point 3, Master.scala:208-216 +
+        PgRunControl.scala:209-211): the combined ContentLinks transfer
+        of a work — every fetched (url, depth, content_uri, content_hash)
+        row; a re-crawled URL keeps its LATEST fetch (the reference's
+        combined transfer concatenates partials in order and readers
+        take the last occurrence — CombinedLinksTransfer.scala:5-9)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("wave"), F.desc("rank"))
+        return (
+            self.results.filter(F.col("run_id") == run_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "depth", "content_uri", "content_hash")
+        )
+
 
 class CrawlEngine:
     def __init__(
@@ -101,6 +118,7 @@ class CrawlEngine:
         bloom_capacity: int = 1_000_000,
         use_token_bucket: bool = False,
         partition_selector=None,
+        verify_fetch: bool = False,
     ):
         self.spark = spark
         self.images = images
@@ -112,6 +130,9 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_capacity = bloom_capacity
         self.use_token_bucket = use_token_bucket
+        # input_hint per-row invariant enforced DURING the crawl:
+        # decode each fetched image, PSNR >= 40 dB vs source pixels
+        self.verify_fetch = verify_fetch
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -289,6 +310,20 @@ class CrawlEngine:
             fetched = fetch_with_token_bucket(
                 fetched, POLITENESS_INTERVAL_S, wave, self.budget
             )
+        if self.verify_fetch:
+            # per-row image invariant (input_hint): decode + PSNR gate,
+            # Arrow-batched mapInPandas (pipeline/multimodal.py)
+            from moca_spark.pipeline.multimodal import verify_images
+
+            v = verify_images(
+                fetched.filter(F.col("bytes").isNotNull())
+                .select("image_id", "bytes", "w", "h", "fmt", "phash")
+            ).select("image_id", "psnr", "psnr_ok")
+            fetched = fetched.join(v, "image_id", "left")
+        else:
+            fetched = fetched.withColumn(
+                "psnr_ok", F.lit(None).cast("boolean")
+            )
         results_w = fetched.select(
             "run_id",
             F.lit(wave).alias("wave"),
@@ -300,6 +335,7 @@ class CrawlEngine:
             F.sha1(F.col("bytes")).alias("content_hash"),
             "caption",
             "phash",
+            "psnr_ok",
             F.concat_ws("/", "run_id", F.lit(wave).cast("string"), "image_id")
             .alias("content_uri"),
             # politeness schedule: rank-th fetch of this host's wave

@@ -385,3 +385,59 @@ def test_partition_selector_by_domain(spark, tmp_path):
         by_wave.setdefault(r["wave"], []).append(r)
     assert all(len(v) == 1 for v in by_wave.values())
     assert {r["host"] for r in want.crawl_order} == {"dom.test"}
+
+
+def test_verify_fetch_psnr_gate(spark, tmp_path):
+    """input_hint per-row invariant inside the crawl: decoded pixels
+    PSNR>=40dB; a corrupted corpus row is flagged, valid rows pass."""
+    from pyspark.sql import functions as F
+
+    edges = chain_graph(n=4)
+    works = [W("w1", "http://site0.test/0", max_depth=5)]
+    eng, urls = make_engine(spark, tmp_path, works, edges, budget=8,
+                            verify_fetch=True)
+    # corrupt one image: swap its bytes for a DIFFERENT url's image
+    # (valid PNG, wrong pixels -> decode ok, PSNR vs source fails)
+    from moca_spark.sources.synth import make_image_row, url_id
+
+    bad_id = url_id("http://site0.test/2")
+    other = make_image_row("http://site0.test/1")
+    eng.images = eng.images.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == bad_id, F.lit(other["bytes"]))
+        .otherwise(F.col("bytes")),
+    ).withColumn(
+        "w", F.when(F.col("image_id") == bad_id, F.lit(other["w"]))
+        .otherwise(F.col("w")),
+    ).withColumn(
+        "h", F.when(F.col("image_id") == bad_id, F.lit(other["h"]))
+        .otherwise(F.col("h")),
+    )
+    res = eng.run()
+    flags = {r.url: r.psnr_ok for r in res.results.collect()}
+    assert flags["http://site0.test/0"] is True
+    assert flags["http://site0.test/1"] is True
+    assert flags["http://site0.test/2"] is False  # corrupted row caught
+
+
+def test_final_links_getlinks_semantics(spark, tmp_path):
+    """Entry point 3 (GetLinks): combined transfer keeps the LATEST
+    fetch of a re-crawled URL; all fetched URLs present exactly once."""
+    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
+    edges = (
+        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
+        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
+           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
+           (f"{A}/d", f"{A}/e")]
+    )
+    works = [W("w1", f"{B}/s", max_depth=3)]
+    eng, urls = make_engine(spark, tmp_path, works, edges, budget=1)
+    res = eng.run()
+    links = {r.url: r for r in eng.run_links(res, "w1").collect()} \
+        if hasattr(eng, "run_links") else \
+        {r.url: r for r in res.final_links("w1").collect()}
+    # A/d crawled at depth 3 then re-crawled at 2: final transfer has
+    # exactly one row, the latest (depth 2)
+    assert links[f"{A}/d"].depth == 2
+    assert len(links) == len({r["url"] for r in oracle_crawl(
+        works, edges, budget=1, corpus_urls=urls).crawl_order})

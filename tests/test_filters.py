@@ -69,3 +69,55 @@ def test_cuckoo_roundtrip():
     back = CuckooFilter.from_bytes(cf.to_bytes())
     assert all(back.contains(k) for k in range(50))
     assert back.size == cf.size
+
+
+def test_sharded_bloom_parity(spark):
+    """Sharded bloom == monolithic bloom discipline: zero false
+    negatives; probe output matches per-key contains_many."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from moca_spark.filters.sharded_bloom import (
+        build_sharded_bloom,
+        merge_sharded_blooms,
+        probe_sharded_bloom,
+    )
+
+    seen = spark.range(0, 3000, 1, 4).select(F.xxhash64("id").alias("k"))
+    shards = build_sharded_bloom(seen, "k", n_shards=8, n_expected=3000)
+    assert shards.count() == 8
+
+    cand = spark.range(1500, 4500, 1, 4).select(
+        F.col("id").alias("orig"), F.xxhash64("id").alias("k")
+    )
+    probed = probe_sharded_bloom(cand, "k", shards, n_shards=8).collect()
+    # all truly-seen keys (orig < 3000) MUST be flagged maybe-seen
+    assert all(r._maybe_seen for r in probed if r.orig < 3000)
+    # unseen keys mostly pass as definitively-new (fpp small)
+    unseen = [r for r in probed if r.orig >= 3000]
+    fp = sum(r._maybe_seen for r in unseen) / len(unseen)
+    assert fp < 0.02
+
+    # delta merge: add keys 4000-4500, then they must flag as seen
+    delta = spark.range(4000, 4500, 1, 2).select(F.xxhash64("id").alias("k"))
+    shards2 = merge_sharded_blooms(
+        shards, build_sharded_bloom(delta, "k", n_shards=8, n_expected=3000)
+    )
+    probed2 = probe_sharded_bloom(cand, "k", shards2, n_shards=8).collect()
+    assert all(r._maybe_seen for r in probed2 if r.orig >= 4000)
+
+
+def test_sharded_bloom_empty_shard_is_definitive_miss(spark):
+    from pyspark.sql import functions as F
+
+    from moca_spark.filters.sharded_bloom import (
+        build_sharded_bloom,
+        probe_sharded_bloom,
+    )
+
+    # keys only in shard pmod==0 -> other shards have no bitmap row
+    seen = spark.range(0, 100).select((F.col("id") * 64).alias("k"))
+    shards = build_sharded_bloom(seen, "k", n_shards=64, n_expected=100)
+    cand = spark.range(0, 100).select((F.col("id") * 64 + 1).alias("k"))
+    probed = probe_sharded_bloom(cand, "k", shards, n_shards=64).collect()
+    assert not any(r._maybe_seen for r in probed)

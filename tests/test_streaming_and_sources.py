@@ -138,3 +138,43 @@ def test_extract_links_udf(spark):
         F.explode(extract_links_udf("html", "base")).alias("url")
     ).collect()
     assert [r.url for r in out] == ["http://h.test/p1", "http://h.test/d/p2"]
+
+
+def test_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes a
+    session; trailing session stays in state (not emitted yet)."""
+    import datetime as dt
+
+    src = tmp_path / "ev"
+    base = dt.datetime(2026, 1, 1, 8, 0, 0)
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, base),
+        (1, base + dt.timedelta(minutes=5)),
+        (1, base + dt.timedelta(hours=2)),
+        # user 2: one session, single event
+        (2, base),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .write.parquet(str(src))
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(str(src))
+
+    from moca_spark.streaming.sessionize import sessionize_stream
+
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").collect()
+    # only user 1's FIRST session closed (via the in-batch 2h gap);
+    # trailing sessions are still open in state
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == 1 and r.n_events == 2
+    assert (r.session_end - r.session_start).total_seconds() == 300

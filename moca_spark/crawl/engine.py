@@ -130,6 +130,12 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_capacity = bloom_capacity
         self.use_token_bucket = use_token_bucket
+        # use_bloom: False | True (broadcast monolith) | "sharded"
+        # (per-hash-range bitmap table — the 10^10 layout where one
+        # broadcast bloom would be ~18 GB; filters/sharded_bloom.py)
+        self.bloom_mode = "sharded" if use_bloom == "sharded" else bool(use_bloom)
+        self.n_bloom_shards = 64
+        self._bloom_shards = None  # DataFrame(shard, bits) when sharded
         # input_hint per-row invariant enforced DURING the crawl:
         # decode each fetched image, PSNR >= 40 dB vs source pixels
         self.verify_fetch = verify_fetch
@@ -139,7 +145,9 @@ class CrawlEngine:
         # filters keep using the real URL host/domain.
         self.partition_selector = partition_selector or url_host
         self._bloom: BloomFilter | None = (
-            BloomFilter(bloom_capacity) if use_bloom else None
+            BloomFilter(bloom_capacity)
+            if (use_bloom and use_bloom != "sharded")
+            else None
         )
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
@@ -302,6 +310,20 @@ class CrawlEngine:
                     self.bloom_capacity,
                 )
             )
+        elif self.bloom_mode == "sharded":
+            from moca_spark.filters.sharded_bloom import (
+                build_sharded_bloom,
+                merge_sharded_blooms,
+            )
+
+            delta = build_sharded_bloom(
+                sliced.select(self._seen_key().alias("k")), "k",
+                self.n_bloom_shards, self.bloom_capacity,
+            )
+            self._bloom_shards = (
+                delta if self._bloom_shards is None
+                else merge_sharded_blooms(self._bloom_shards, delta)
+            ).localCheckpoint(eager=True)
 
         # 2. FETCH — equi-join against the image+caption corpus
         fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
@@ -415,6 +437,24 @@ class CrawlEngine:
             definitely_new = tagged.filter(~F.col("_maybe")).select(*fresh_cols)
             checked = (
                 tagged.filter(F.col("_maybe"))
+                .join(seen_new, ["run_id", "url"], "left")
+                .filter(
+                    F.col("best_depth").isNull()
+                    | (F.col("depth") < F.col("best_depth"))
+                )
+                .select(*fresh_cols)
+            )
+            fresh = definitely_new.unionByName(checked)
+        elif self.bloom_mode == "sharded" and self._bloom_shards is not None:
+            from moca_spark.filters.sharded_bloom import probe_sharded_bloom
+
+            tagged = probe_sharded_bloom(
+                cand2.withColumn("_k", self._seen_key()), "_k",
+                self._bloom_shards, self.n_bloom_shards,
+            ).drop("_k")
+            definitely_new = tagged.filter(~F.col("_maybe_seen")).select(*fresh_cols)
+            checked = (
+                tagged.filter(F.col("_maybe_seen"))
                 .join(seen_new, ["run_id", "url"], "left")
                 .filter(
                     F.col("best_depth").isNull()

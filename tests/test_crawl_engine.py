@@ -441,3 +441,12 @@ def test_final_links_getlinks_semantics(spark, tmp_path):
     assert links[f"{A}/d"].depth == 2
     assert len(links) == len({r["url"] for r in oracle_crawl(
         works, edges, budget=1, corpus_urls=urls).crawl_order})
+
+
+def test_sharded_bloom_engine_parity(spark, tmp_path):
+    """use_bloom='sharded' (the 10^10 layout) must not change results."""
+    edges = zipf_graph(n_hosts=5, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=2,
+                         use_bloom="sharded", bloom_capacity=10_000)
+    assert_match(got, want)

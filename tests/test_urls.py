@@ -12,11 +12,7 @@ from moca_spark.functions.psl import effective_domain, public_suffix
 from moca_spark.functions.urls import (
     _canonicalize_series,
     canonicalize_str,
-    canonicalize_udf,
     resolve_str,
-    url_domain,
-    url_host,
-    url_key,
     url_sha1,
     with_url_columns,
 )

@@ -137,3 +137,72 @@ def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
     dt = time.time() - t0
     return {"fetched": n, "waves": res.waves, "sec": round(dt, 2),
             "fetch_per_sec": round(n / dt, 1)}
+
+
+def synthetic_web(spark: SparkSession, n_pages: int, n_hosts: int,
+                  partitions: int = 64):
+    """Lazy large-scale web: Zipf-hosted pages, chain + skip links, and
+    a lightweight corpus (1-row-per-page images table with tiny bytes —
+    scheduling semantics need the join, not real pixels)."""
+    pages = scale_frontier(spark, n_pages, n_hosts, partitions).select(
+        "url", "seq"
+    )
+    nxt = scale_frontier(spark, n_pages, n_hosts, partitions).select(
+        F.col("url").alias("dst_url"), (F.col("seq")).alias("nseq")
+    )
+    links = (
+        pages.withColumn("nseq", (F.col("seq") + 1) % n_pages)
+        .join(nxt, "nseq")
+        .select(F.col("url").alias("src_url"), "dst_url")
+        .unionByName(
+            pages.withColumn("nseq", (F.col("seq") * 7 + 13) % n_pages)
+            .join(nxt, "nseq")
+            .select(F.col("url").alias("src_url"), "dst_url")
+        )
+    )
+    images = pages.select(
+        F.sha1(F.encode("url", "UTF-8")).alias("image_id"),
+        F.encode(F.substring("url", 1, 8), "UTF-8").alias("bytes"),
+        F.lit(8).alias("w"), F.lit(8).alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("caption-"), F.substring(F.sha1(F.encode("url", "UTF-8")), 1, 12)).alias("caption"),
+        F.xxhash64("url").alias("phash"),
+    )
+    seeds = pages.orderBy("seq").limit(200).select("url")
+    return links, images, seeds
+
+
+def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
+                     n_hosts: int = 20_000, budget: int = 50,
+                     waves: int = 3, materialize_dir: str | None = None) -> dict:
+    """Run the REAL engine for a few waves on a large synthetic web;
+    report per-wave wall clock + frontier throughput."""
+    from moca_spark.criteria.dsl import CriteriaSpec, Work
+    from moca_spark.crawl.engine import CrawlEngine
+
+    links, images, seeds = synthetic_web(spark, n_pages, n_hosts)
+    if materialize_dir:
+        links.write.mode("overwrite").parquet(f"{materialize_dir}/links")
+        images.write.mode("overwrite").parquet(f"{materialize_dir}/images")
+        links = spark.read.parquet(f"{materialize_dir}/links")
+        images = spark.read.parquet(f"{materialize_dir}/images")
+    seed_urls = [r.url for r in seeds.collect()]
+
+    eng = CrawlEngine(spark, links, images, budget=budget, durable=False,
+                      n_salts=16, use_bloom="sharded",
+                      bloom_capacity=n_pages)
+    eng.add_works([
+        Work(f"w{i}", u, CriteriaSpec(max_depth=10**6))
+        for i, u in enumerate(seed_urls)
+    ])
+    t0 = time.time()
+    res = eng.run(max_waves=waves)
+    dt = time.time() - t0
+    fetched = res.results.count()
+    pending = res.frontier.count()
+    return {
+        "n_pages": n_pages, "n_hosts": n_hosts, "budget": budget,
+        "waves": res.waves, "fetched": fetched, "pending": pending,
+        "sec": round(dt, 1), "sec_per_wave": round(dt / max(res.waves, 1), 1),
+        "fetched_per_sec": round(fetched / dt, 1),
+    }

@@ -472,6 +472,44 @@ def _q25_lsh_topk(spark, sf_dir):
     return lsh_topk(q, emb, dim=64, k=5, bits=16, bands=8)
 
 
+def _q27_tpch_q5ish(spark, sf_dir):
+    """Multi-dim join (TPC-H Q5 shape): revenue by nation, customer and
+    supplier in the same nation — exercises broadcast of the full dim
+    chain region->nation and two fact-side joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q28_cosine_block_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the scale
+    shape: self-join only within blocks)."""
+    emb = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    from moca_spark.pipeline.dedup import cosine_pairs
+
+    pairs = cosine_pairs(emb, id_col="vec_id", vec_col="embedding",
+                         threshold=0.3, block_col="label")
+    return pairs.withColumn("cosine", F.round("cosine", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_wave_slice_topk": _q01_wave_slice_topk,
@@ -500,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_crawl_fixture": _q24_crawl_fixture,
         "q25_lsh_topk": _q25_lsh_topk,
         "q26_crawl_robots": _q26_crawl_robots,
+        "q27_tpch_q5ish": _q27_tpch_q5ish,
+        "q28_cosine_block_dedup": _q28_cosine_block_dedup,
     }
 
 
@@ -750,6 +790,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
     }
+    sql["q27_tpch_q5ish"] = """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY 1, 2
+    """
+    sql["q28_cosine_block_dedup"] = """
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id a, b.vec_id b,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS c6
+          FROM e a JOIN e b USING (label)
+          WHERE a.vec_id < b.vec_id)
+        SELECT a, b, round(c6, 4) AS cosine
+        FROM pairs WHERE c6 >= 0.3
+    """
     # q24/q26: the independent python reference crawler, emitted as
     # VALUES literals (engine vs single-threaded spec, not SQL-derivable)
     from moca_spark.criteria.dsl import CriteriaSpec, Work

@@ -128,7 +128,8 @@ def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
     # Iceberg table scan; PNG synthesis must not re-run per wave)
     images = images_distributed(spark, urls).cache()
     images.count()
-    eng = CrawlEngine(spark, links, images, budget=20, durable=False, n_salts=4)
+    eng = CrawlEngine(spark, links, images, budget=20, durable=False, n_salts=4,
+                      collect_metrics=False)
     eng.add_works([Work(f"w{i}", f"http://host{i}.test/p0", CriteriaSpec(max_depth=4))
                    for i in range(6)])
     t0 = time.time()
@@ -190,7 +191,7 @@ def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
 
     eng = CrawlEngine(spark, links, images, budget=budget, durable=False,
                       n_salts=16, use_bloom="sharded",
-                      bloom_capacity=n_pages)
+                      bloom_capacity=n_pages, collect_metrics=False)
     eng.add_works([
         Work(f"w{i}", u, CriteriaSpec(max_depth=10**6))
         for i, u in enumerate(seed_urls)

@@ -119,6 +119,7 @@ class CrawlEngine:
         use_token_bucket: bool = False,
         partition_selector=None,
         verify_fetch: bool = False,
+        collect_metrics: bool = True,
     ):
         self.spark = spark
         self.images = images
@@ -139,6 +140,7 @@ class CrawlEngine:
         # input_hint per-row invariant enforced DURING the crawl:
         # decode each fetched image, PSNR >= 40 dB vs source pixels
         self.verify_fetch = verify_fetch
+        self.collect_metrics = collect_metrics
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -489,16 +491,17 @@ class CrawlEngine:
         #    derived from the checkpointed results (A7 lineage), then
         #    the state snapshot + marker (the atomic journal commit)
         results_c = self._checkpoint_increment(wave, "results", results_w)
-        metrics_w = (
-            results_c.groupBy("host")
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.sum(F.col("fetched").cast("long")).alias("fetched"),
+        if self.collect_metrics:
+            metrics_w = (
+                results_c.groupBy("host")
+                .agg(
+                    F.count("*").alias("scheduled"),
+                    F.sum(F.col("fetched").cast("long")).alias("fetched"),
+                )
+                .withColumn("wave", F.lit(wave))
+                .withColumn("partition_id", F.spark_partition_id())
             )
-            .withColumn("wave", F.lit(wave))
-            .withColumn("partition_id", F.spark_partition_id())
-        )
-        self._checkpoint_increment(wave, "metrics", metrics_w)
+            self._checkpoint_increment(wave, "metrics", metrics_w)
         out = self._commit(wave, frontier_new, seen_new)
         sliced.unpersist()
         return out

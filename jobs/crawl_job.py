@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=8)
     ap.add_argument("--max-waves", type=int, default=10_000)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--eventlog", action="store_true",
+                    help="append-only journal layout (O(delta) writes)")
     ap.add_argument("--demo", action="store_true",
                     help="synthesize a Zipf world instead of --links/--images")
     args = ap.parse_args()
@@ -74,7 +76,8 @@ def main() -> None:
     robots = spark.read.parquet(args.robots) if args.robots else None
     eng = CrawlEngine(
         spark, links, images, robots,
-        budget=args.budget, checkpoint_dir=args.checkpoint, durable=True,
+        budget=args.budget, checkpoint_dir=args.checkpoint,
+        durable="eventlog" if args.eventlog else True,
     )
     eng.add_works(works)
     res = eng.run(max_waves=args.max_waves, resume=args.resume)

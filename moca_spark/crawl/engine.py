@@ -120,6 +120,7 @@ class CrawlEngine:
         partition_selector=None,
         verify_fetch: bool = False,
         collect_metrics: bool = True,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.images = images
@@ -127,7 +128,12 @@ class CrawlEngine:
         self.budget = budget
         self.n_salts = n_salts
         self.keep_snapshots = keep_snapshots  # 0 = keep all wave states
-        self.durable = durable  # False: localCheckpoint, no resume — tests/bench
+        # durable: True (full state snapshot per wave) | False
+        # (localCheckpoint, no resume — tests/bench) | "eventlog"
+        # (append-only delta journal + reconstruction — the layout that
+        # avoids O(|frontier|) write amplification at 10^10 scale;
+        # store/lakehouse.py EventLogStore)
+        self.durable = durable
         self.use_bloom = use_bloom
         self.bloom_capacity = bloom_capacity
         self.use_token_bucket = use_token_bucket
@@ -141,6 +147,7 @@ class CrawlEngine:
         # decode each fetched image, PSNR >= 40 dB vs source pixels
         self.verify_fetch = verify_fetch
         self.collect_metrics = collect_metrics
+        self.compact_every = compact_every  # eventlog: fold journal every N waves
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -156,7 +163,12 @@ class CrawlEngine:
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="moca-chk-"
         )
-        self.store = CheckpointStore(spark, self.checkpoint_dir)
+        if durable == "eventlog":
+            from moca_spark.store.lakehouse import EventLogStore
+
+            self.store: CheckpointStore = EventLogStore(spark, self.checkpoint_dir)
+        else:
+            self.store = CheckpointStore(spark, self.checkpoint_dir)
         # Canonicalize the graph once: both endpoints normalized, invalid
         # dropped (R9 scheme whitelist happens inside canonicalize).
         # Cache: the normalized graph is re-joined every wave; in a real
@@ -223,10 +235,13 @@ class CrawlEngine:
     def run(self, max_waves: int = 10_000, resume: bool = False) -> CrawlResult:
         if resume and self.store.latest_wave() is not None:
             if not self.durable:
-                raise ValueError("resume requires durable=True")
+                raise ValueError("resume requires durable=True or 'eventlog'")
             start = self.store.latest_wave()
-            frontier, seen = self.store.load_wave(start)
-            if self.use_bloom:  # rebuild the seen bloom from state (T5)
+            if self.durable == "eventlog":
+                frontier, seen = self._reconstruct()
+            else:
+                frontier, seen = self.store.load_wave(start)
+            if self._bloom is not None:  # rebuild the seen bloom (T5)
                 self._bloom = build_bloom_from_df(
                     seen.withColumn("k", self._seen_key()), "k",
                     self.bloom_capacity,
@@ -234,7 +249,17 @@ class CrawlEngine:
         else:
             start = 0
             frontier, seen = self._initial_state()
-            frontier, seen = self._commit(0, frontier, seen, None, None)
+            if self.durable == "eventlog":
+                self.store.append_events(
+                    0,
+                    frontier.select(
+                        "run_id", "url", "host", "depth", "seq",
+                        F.lit("add").alias("kind"), F.lit(0).alias("wave"),
+                    ),
+                )
+                frontier, seen = self._reconstruct()
+            else:
+                frontier, seen = self._commit(0, frontier, seen, None, None)
 
         runs_b = F.broadcast(self._runs_df())
         wave = start
@@ -243,8 +268,12 @@ class CrawlEngine:
                 break
             wave += 1
             frontier, seen = self._step(wave, frontier, seen, runs_b)
-            if self.durable and self.keep_snapshots:
+            if self.durable is True and self.keep_snapshots:
                 self.store.expire_snapshots(self.keep_snapshots)
+            if (self.durable == "eventlog" and self.compact_every
+                    and wave % self.compact_every == 0):
+                self.store.compact(wave)
+                frontier, seen = self._reconstruct()
 
         if self.durable:
             results, metrics = self.store.all_results(), self.store.all_metrics()
@@ -289,6 +318,21 @@ class CrawlEngine:
         (self._results_acc if name == "results" else self._metrics_acc).append(c)
         return c
 
+    def _reconstruct(self) -> tuple[DataFrame, DataFrame]:
+        """Eventlog mode: (frontier, seen) from the committed journal."""
+        from moca_spark.store.lakehouse import _reconstruct_state
+
+        log = self.store.read_log()
+        if log is None:
+            empty_f = self.spark.createDataFrame(
+                [], "run_id string, url string, host string, depth int, seq long"
+            )
+            empty_s = self.spark.createDataFrame(
+                [], "run_id string, url string, best_depth int"
+            )
+            return empty_f, empty_s
+        return _reconstruct_state(log)
+
     @staticmethod
     def _seen_key(run_col: str = "run_id", url_col: str = "url") -> F.Column:
         """64-bit bloom key over (run, url) — xxhash64, JVM-side."""
@@ -299,9 +343,13 @@ class CrawlEngine:
     ) -> tuple[DataFrame, DataFrame]:
         # 1. SLICE — per-host politeness-bounded queue heads
         sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
-        rest = frontier.join(
-            sliced.select("run_id", "url"), ["run_id", "url"], "left_anti"
-        )
+        # `rest` is only needed by the full-rewrite merge path; the
+        # eventlog journal makes the anti-join unnecessary
+        rest = None
+        if self.durable != "eventlog":
+            rest = frontier.join(
+                sliced.select("run_id", "url"), ["run_id", "url"], "left_anti"
+            )
 
         # incremental bloom maintenance: this wave's fetches ARE the new
         # seen entries; add their keys via distributed partial bitmaps
@@ -475,17 +523,25 @@ class CrawlEngine:
                 .select(*fresh_cols)
             )
 
-        # 6. MERGE — frontier keeps min (depth, seq) per (run, url)
-        frontier_new = (
-            rest.unionByName(fresh)
-            .groupBy("run_id", "url")
-            .agg(
-                F.min(F.struct("depth", "seq")).alias("m"),
-                F.first("host").alias("host"),
+        # 6. MERGE — frontier keeps min (depth, seq) per (run, url).
+        #    Eventlog mode skips the merge (and the `rest` anti-join)
+        #    entirely: the wave's consumes + adds are appended to the
+        #    journal and the next frontier is reconstructed from it —
+        #    O(delta) writes instead of O(frontier) rewrite.
+        if self.durable == "eventlog":
+            frontier_new = None
+        else:
+            frontier_new = (
+                rest.unionByName(fresh)
+                .groupBy("run_id", "url")
+                .agg(
+                    F.min(F.struct("depth", "seq")).alias("m"),
+                    F.first("host").alias("host"),
+                )
+                .select("run_id", "url", "host",
+                        F.col("m.depth").alias("depth"),
+                        F.col("m.seq").alias("seq"))
             )
-            .select("run_id", "url", "host", F.col("m.depth").alias("depth"),
-                    F.col("m.seq").alias("seq"))
-        )
 
         # 7. COMMIT — results first (one materialization), metrics
         #    derived from the checkpointed results (A7 lineage), then
@@ -502,6 +558,19 @@ class CrawlEngine:
                 .withColumn("partition_id", F.spark_partition_id())
             )
             self._checkpoint_increment(wave, "metrics", metrics_w)
-        out = self._commit(wave, frontier_new, seen_new)
+        if self.durable == "eventlog":
+            events = sliced.select(
+                "run_id", "url", "host", "depth", "seq",
+                F.lit("consume").alias("kind"), F.lit(wave).alias("wave"),
+            ).unionByName(
+                fresh.select(
+                    "run_id", "url", "host", "depth", "seq",
+                    F.lit("add").alias("kind"), F.lit(wave).alias("wave"),
+                )
+            )
+            self.store.append_events(wave, events)
+            out = self._reconstruct()
+        else:
+            out = self._commit(wave, frontier_new, seen_new)
         sliced.unpersist()
         return out

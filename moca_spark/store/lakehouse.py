@@ -129,3 +129,108 @@ class CheckpointStore:
                 p = os.path.join(self._wave_dir(w), sub)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
+
+
+class EventLogStore(CheckpointStore):
+    """Append-only event-log layout — the write path that survives a
+    10^10-row frontier.
+
+    The base CheckpointStore rewrites the FULL frontier + seen tables
+    every wave: O(|frontier|) write amplification per wave, untenable
+    at the north-star scale. This layout appends only the wave's DELTA
+    as events and reconstructs state by aggregation:
+
+        event: (run_id, url, host, depth, seq, kind, wave)
+          kind 'add'     — URL admitted to the frontier at (depth, seq)
+          kind 'consume' — URL fetched at depth (incl. fetch failures)
+
+    Reconstruction exploits the invariant that a URL's depth strictly
+    decreases through its lifecycle (admission requires depth <
+    best-seen; J1/T8):
+
+        am = min over adds of (depth, seq);  cd = min over consume depth
+        pending iff cd is null or am.depth < cd   -> frontier row
+        seen    iff cd not null, best_depth = cd  -> seen row
+
+    Per wave: write O(|slice| + |fresh|), read O(|log|) once for the
+    aggregation — no rewrite, and the log IS the journal (T3): the
+    commit marker publishes the wave's events atomically; replay =
+    re-aggregate committed events. This mirrors a merge-on-read
+    Iceberg/Hudi table with periodic compaction (``compact()``)."""
+
+    def append_events(self, wave: int, events: DataFrame,
+                      extra: dict | None = None) -> None:
+        d = self._wave_dir(wave)
+        events.write.mode("overwrite").parquet(os.path.join(d, "events"))
+        tmp = os.path.join(d, "_COMMIT.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"wave": wave, **(extra or {})}, f)
+        os.rename(tmp, os.path.join(d, "_COMMIT"))
+
+    def read_log(self) -> DataFrame | None:
+        paths = [
+            os.path.join(self._wave_dir(w), "events")
+            for w in self.committed_waves()
+            if os.path.isdir(os.path.join(self._wave_dir(w), "events"))
+        ]
+        return self.spark.read.parquet(*paths) if paths else None
+
+    def compact(self, wave: int) -> None:
+        """Fold the whole log into a single minimal event set (one add
+        per pending url, one consume per seen url) written as wave
+        ``wave``'s events; older wave dirs are dropped. The periodic
+        compaction of the merge-on-read layout."""
+        from pyspark.sql import functions as F
+
+        log = self.read_log()
+        if log is None:
+            return
+        state = _reconstruct_state(log)
+        frontier, seen = state
+        adds = frontier.select(
+            "run_id", "url", "host", "depth", "seq",
+            F.lit("add").alias("kind"), F.lit(wave).alias("wave"),
+        )
+        consumes = seen.select(
+            "run_id", "url",
+            F.lit(None).cast("string").alias("host"),
+            F.col("best_depth").alias("depth"),
+            F.lit(None).cast("long").alias("seq"),
+            F.lit("consume").alias("kind"), F.lit(wave).alias("wave"),
+        )
+        compacted = adds.unionByName(consumes).localCheckpoint(eager=True)
+        old = self.committed_waves()
+        self.append_events(wave, compacted, extra={"compacted": True})
+        # drop only the EVENT deltas of older waves — their markers and
+        # results/metrics increments remain (they are the crawl output)
+        for w in old:
+            if w != wave:
+                shutil.rmtree(os.path.join(self._wave_dir(w), "events"),
+                              ignore_errors=True)
+
+
+def _reconstruct_state(log: DataFrame):
+    """(frontier, seen) from the event log — two mins per (run, url)."""
+    from pyspark.sql import functions as F
+
+    state = log.groupBy("run_id", "url").agg(
+        F.min(
+            F.when(F.col("kind") == "add", F.struct("depth", "seq"))
+        ).alias("am"),
+        F.min(
+            F.when(F.col("kind") == "consume", F.col("depth"))
+        ).alias("cd"),
+        F.max(F.when(F.col("kind") == "add", F.col("host"))).alias("host"),
+    )
+    frontier = (
+        state.filter(
+            F.col("am").isNotNull()
+            & (F.col("cd").isNull() | (F.col("am.depth") < F.col("cd")))
+        )
+        .select("run_id", "url", "host",
+                F.col("am.depth").alias("depth"), F.col("am.seq").alias("seq"))
+    )
+    seen = state.filter(F.col("cd").isNotNull()).select(
+        "run_id", "url", F.col("cd").alias("best_depth")
+    )
+    return frontier, seen

@@ -450,3 +450,36 @@ def test_sharded_bloom_engine_parity(spark, tmp_path):
     got, want = run_both(spark, tmp_path, works, edges, budget=2,
                          use_bloom="sharded", bloom_capacity=10_000)
     assert_match(got, want)
+
+
+def test_eventlog_mode_parity(spark, tmp_path):
+    """durable='eventlog' (append-only journal + reconstruction — the
+    O(delta)-write layout) must match the oracle exactly, including
+    the re-crawl case which stresses the depth-decreasing invariant."""
+    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
+    edges = (
+        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
+        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
+           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
+           (f"{A}/d", f"{A}/e")]
+    )
+    works = [W("w1", f"{B}/s", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1,
+                         durable="eventlog")
+    assert_match(got, want)
+
+
+def test_eventlog_resume_and_compaction(spark, tmp_path):
+    """Eventlog journal: crash after wave 3, resume cold; with
+    compaction folding the log mid-run. End state == oracle."""
+    edges = chain_graph(n=6)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    eng1, urls = make_engine(spark, tmp_path / "el", works, edges, budget=1,
+                             durable="eventlog", compact_every=2)
+    partial = eng1.run(max_waves=3)
+    assert partial.waves == 3
+    eng2, _ = make_engine(spark, tmp_path / "el", works, edges, budget=1,
+                          durable="eventlog", compact_every=2)
+    resumed = eng2.run(resume=True)
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(resumed, want)

@@ -175,7 +175,8 @@ def synthetic_web(spark: SparkSession, n_pages: int, n_hosts: int,
 
 def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
                      n_hosts: int = 20_000, budget: int = 50,
-                     waves: int = 3, materialize_dir: str | None = None) -> dict:
+                     waves: int = 3, materialize_dir: str | None = None,
+                     durable="memory", checkpoint_dir: str | None = None) -> dict:
     """Run the REAL engine for a few waves on a large synthetic web;
     report per-wave wall clock + frontier throughput."""
     from moca_spark.criteria.dsl import CriteriaSpec, Work
@@ -189,7 +190,9 @@ def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
         images = spark.read.parquet(f"{materialize_dir}/images")
     seed_urls = [r.url for r in seeds.collect()]
 
-    eng = CrawlEngine(spark, links, images, budget=budget, durable=False,
+    eng = CrawlEngine(spark, links, images, budget=budget,
+                      durable=False if durable == "memory" else durable,
+                      checkpoint_dir=checkpoint_dir,
                       n_salts=16, use_bloom="sharded",
                       bloom_capacity=n_pages, collect_metrics=False)
     eng.add_works([
@@ -202,6 +205,7 @@ def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
     fetched = res.results.count()
     pending = res.frontier.count()
     return {
+        "durable": str(durable),
         "n_pages": n_pages, "n_hosts": n_hosts, "budget": budget,
         "waves": res.waves, "fetched": fetched, "pending": pending,
         "sec": round(dt, 1), "sec_per_wave": round(dt / max(res.waves, 1), 1),

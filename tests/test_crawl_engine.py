@@ -483,3 +483,36 @@ def test_eventlog_resume_and_compaction(spark, tmp_path):
     resumed = eng2.run(resume=True)
     want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
     assert_match(resumed, want)
+
+
+def test_everything_enabled_parity(spark, tmp_path):
+    """The kitchen sink: Zipf graph + robots + partial corpus (fetch
+    failures) + two runs with different criteria + sharded bloom +
+    eventlog journal + compaction + token bucket + PSNR verify +
+    by-host selector — still exact oracle parity."""
+    edges = zipf_graph(n_hosts=5, pages_per_host=6) + [
+        ("http://host0.test/p0", "http://host0.test/private/x"),
+        ("http://host0.test/private/x", "http://host0.test/p5"),
+    ]
+    robots = [("host0.test", "/private")]
+    works = [
+        W("w1", "http://host0.test/p0", max_depth=3, robots_txt=True),
+        W("w2", "http://host1.test/p0", max_depth=2, same_host=True),
+    ]
+    urls = oracle_corpus_urls(edges, works)
+    # knock out ~1/4 of the corpus -> fetch failures
+    dropped = {u for u in urls if hash(u) % 4 == 0}
+    dropped -= {w.seed_url for w in works}
+    corpus = urls - dropped
+
+    got, want = run_both(
+        spark, tmp_path, works, edges, robots=robots, budget=2,
+        corpus_urls=corpus, durable="eventlog", compact_every=3,
+        use_bloom="sharded", bloom_capacity=10_000,
+        use_token_bucket=True, verify_fetch=True,
+    )
+    assert_match(got, want)
+    rows = got.results.collect()
+    ok = [r for r in rows if r.fetched]
+    assert ok and all(r.psnr_ok for r in ok)  # invariant held throughout
+    assert any(not r.fetched for r in rows)  # failures exercised

@@ -24,6 +24,11 @@ for one politeness window") does:
                per (run, url) — J2 frontier dedup + depth replacement;
   7. COMMIT   checkpoint frontier+seen, append results+metrics
                (store/lakehouse.py) — the Akka journal/snapshot analog.
+               Three layouts: memory (localCheckpoint, tests/bench),
+               full snapshots (durable=True), or the append-only event
+               journal (durable="eventlog") that writes O(delta) per
+               wave and reconstructs state by aggregation — the layout
+               for the 10^10 target (EventLogStore docstring).
 
 Scale notes (the 100 TB story):
 - No unbounded per-host window anywhere: slicing is salted two-phase

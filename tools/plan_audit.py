@@ -97,6 +97,19 @@ def main() -> int:
     check("codegen: WholeStageCodegen spans on executed agg",
           "*(" in p and "isFinalPlan=true" in p)
 
+    # 6b. engine expand join: tiny parents vs huge links must broadcast
+    #     (AQE converts at runtime from actual sizes)
+    from moca_spark.bench_core import synthetic_web
+
+    links, _images, seeds = synthetic_web(spark, 200_000, 2_000, 8)
+    parents = seeds.limit(40).select(F.col("url").alias("src_url"),
+                                     F.lit(1).alias("depth"))
+    ej = parents.join(links, "src_url")
+    ej.collect()
+    p = plan_of(ej)
+    check("engine expand join: parents broadcast (AQE runtime)",
+          "BroadcastHashJoin [src_url" in p)
+
     # 7. AQE enabled in session
     check("conf: AQE enabled",
           spark.conf.get("spark.sql.adaptive.enabled") == "true")

@@ -126,6 +126,7 @@ class CrawlEngine:
         verify_fetch: bool = False,
         collect_metrics: bool = True,
         compact_every: int = 0,
+        links_canonical: bool = False,
     ):
         self.spark = spark
         self.images = images
@@ -176,18 +177,31 @@ class CrawlEngine:
             self.store = CheckpointStore(spark, self.checkpoint_dir)
         # Canonicalize the graph once: both endpoints normalized, invalid
         # dropped (R9 scheme whitelist happens inside canonicalize).
-        # Cache: the normalized graph is re-joined every wave; in a real
-        # deployment this is a one-time normalized-table write. (The
-        # pandas-UDF canonicalization would otherwise re-run per wave.)
-        self.links = (
-            links.select(
-                canonicalize_udf("src_url").alias("src_url"),
-                canonicalize_udf("dst_url").alias("dst_url"),
+        # The graph is re-joined every wave. Two input shapes:
+        # - raw links (default): canonicalize once and cache (the
+        #   pandas-UDF normalization must not re-run per wave);
+        # - links_canonical=True: the table is already normalized —
+        #   typically a parquet dir PARTITIONED BY src_host, which lets
+        #   the per-wave expand join prune to the scheduled hosts'
+        #   partitions via dynamic partition pruning instead of
+        #   scanning the whole web graph (the 10^10 expand-join story).
+        if links_canonical:
+            self.links = links
+            if "src_host" not in self.links.columns:
+                self.links = self.links.withColumn(
+                    "src_host", url_host(F.col("src_url"))
+                )
+        else:
+            self.links = (
+                links.select(
+                    canonicalize_udf("src_url").alias("src_url"),
+                    canonicalize_udf("dst_url").alias("dst_url"),
+                )
+                .filter(F.col("src_url").isNotNull() & F.col("dst_url").isNotNull())
+                .distinct()
+                .withColumn("src_host", url_host(F.col("src_url")))
+                .cache()
             )
-            .filter(F.col("src_url").isNotNull() & F.col("dst_url").isNotNull())
-            .distinct()
-            .cache()
-        )
         self.runs: list[dict] = []
         self.custom_by_name: dict[str, tuple[str, ...]] = {}
 
@@ -444,14 +458,21 @@ class CrawlEngine:
                 "run_id", "criteria_name", "same_host", "same_domain",
                 "robots_txt",
                 F.col("url").alias("src_url"),
-                F.col("host").alias("src_host"),
-                domain_udf(F.col("host")).alias("src_domain"),
+                # the REAL host (criteria R3 compares hosts) — the
+                # frontier 'host' column is the partition key, which
+                # differs under a non-default partition_selector (U3)
+                url_host(F.col("url")).alias("src_host"),
+                domain_udf(url_host(F.col("url"))).alias("src_domain"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("rank").alias("parent_rank"),
             )
         )
+        # joining on (src_url, src_host): src_url alone determines the
+        # match, but the redundant src_host key lets a src_host-
+        # partitioned links table prune to the scheduled hosts'
+        # partitions (dynamic partition pruning off the broadcast side)
         cand = (
-            parents.join(self.links, "src_url")
+            parents.join(self.links, ["src_url", "src_host"])
             .withColumn("dst_host", url_host(F.col("dst_url")))
             .withColumn("dst_domain", domain_udf(F.col("dst_host")))
         )

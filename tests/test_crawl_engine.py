@@ -516,3 +516,62 @@ def test_everything_enabled_parity(spark, tmp_path):
     ok = [r for r in rows if r.fetched]
     assert ok and all(r.psnr_ok for r in ok)  # invariant held throughout
     assert any(not r.fetched for r in rows)  # failures exercised
+
+
+def test_links_canonical_partitioned_pruning(spark, tmp_path):
+    """links_canonical=True over a src_host-partitioned parquet dir:
+    parity holds AND the expand join scans with partition filters
+    (the 10^10 expand-join layout)."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.crawl.oracle import oracle_corpus_urls, oracle_crawl
+    from moca_spark.functions.urls import url_host
+    from moca_spark.sources.synth import images_for_urls, zipf_graph
+
+    edges = zipf_graph(n_hosts=4, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    urls = oracle_corpus_urls(edges, works)
+
+    ldir = str(tmp_path / "links_part")
+    spark.createDataFrame(edges, ["src_url", "dst_url"]) \
+        .withColumn("src_host", url_host(F.col("src_url"))) \
+        .write.partitionBy("src_host").parquet(ldir)
+    links = spark.read.parquet(ldir)
+
+    eng = CrawlEngine(
+        spark, links, images_for_urls(spark, sorted(urls)),
+        budget=2, durable=False, n_salts=2, links_canonical=True,
+    )
+    eng.add_works(works)
+    got = eng.run()
+    want = oracle_crawl(works, edges, budget=2, corpus_urls=urls)
+    assert_match(got, want)
+
+
+def test_same_host_criteria_with_domain_selector(spark, tmp_path):
+    """Regression: same-host criteria must compare REAL hosts even when
+    the partition selector keys the frontier by domain (src_host used
+    to alias the partition key)."""
+    from moca_spark.functions.psl import effective_domain
+    from moca_spark.functions.urls import domain_udf, url_host
+    from moca_spark.crawl.oracle import _host
+
+    edges = [
+        ("http://a.dom.test/x", "http://a.dom.test/y"),  # same host
+        ("http://a.dom.test/x", "http://b.dom.test/z"),  # same domain only
+    ]
+    works = [W("w1", "http://a.dom.test/x", max_depth=3, same_host=True)]
+    eng, urls = make_engine(
+        spark, tmp_path, works, edges, budget=2,
+        partition_selector=lambda c: domain_udf(url_host(c)),
+    )
+    got = eng.run()
+    want = oracle_crawl(
+        works, edges, budget=2, corpus_urls=urls,
+        partition_fn=lambda u: effective_domain(_host(u)),
+    )
+    assert_match(got, want)
+    # b.dom.test/z must be EXCLUDED (different host, same domain)
+    assert {r["url"] for r in want.crawl_order} == {
+        "http://a.dom.test/x", "http://a.dom.test/y"
+    }

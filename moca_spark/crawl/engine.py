@@ -185,6 +185,8 @@ class CrawlEngine:
         #   the per-wave expand join prune to the scheduled hosts'
         #   partitions via dynamic partition pruning instead of
         #   scanning the whole web graph (the 10^10 expand-join story).
+        self.links_canonical = links_canonical
+        self.prune_hosts_threshold = 10_000
         if links_canonical:
             self.links = links
             if "src_host" not in self.links.columns:
@@ -468,11 +470,24 @@ class CrawlEngine:
             )
         )
         # joining on (src_url, src_host): src_url alone determines the
-        # match, but the redundant src_host key lets a src_host-
-        # partitioned links table prune to the scheduled hosts'
-        # partitions (dynamic partition pruning off the broadcast side)
+        # match, but the redundant src_host key enables partition
+        # pruning on a src_host-partitioned links table. DPP is
+        # best-effort; with links_canonical we ALSO push a literal
+        # host-list filter (the wave's scheduled hosts are bounded by
+        # the active-host count), which prunes statically and shows up
+        # as PartitionFilters on the scan — each wave reads only the
+        # scheduled hosts' graph partitions, not the whole web.
+        links = self.links
+        if self.links_canonical:
+            hosts = [
+                r.src_host
+                for r in parents.select("src_host").distinct()
+                .limit(self.prune_hosts_threshold + 1).collect()
+            ]
+            if 0 < len(hosts) <= self.prune_hosts_threshold:
+                links = links.filter(F.col("src_host").isin(hosts))
         cand = (
-            parents.join(self.links, ["src_url", "src_host"])
+            parents.join(links, ["src_url", "src_host"])
             .withColumn("dst_host", url_host(F.col("dst_url")))
             .withColumn("dst_domain", domain_udf(F.col("dst_host")))
         )

@@ -510,6 +510,28 @@ def _q28_cosine_block_dedup(spark, sf_dir):
     return pairs.withColumn("cosine", F.round("cosine", 4))
 
 
+def _q29_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (gap > 30 min splits): the SQL-expressible
+    twin of the applyInPandasWithState streaming operator
+    (streaming/sessionize.py) — lag + cumulative-sum session ids."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w)
+    return (
+        e.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_wave_slice_topk": _q01_wave_slice_topk,
@@ -540,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_crawl_robots": _q26_crawl_robots,
         "q27_tpch_q5ish": _q27_tpch_q5ish,
         "q28_cosine_block_dedup": _q28_cosine_block_dedup,
+        "q29_sessionize_batch": _q29_sessionize_batch,
     }
 
 
@@ -812,6 +835,23 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.vec_id < b.vec_id)
         SELECT a, b, round(c6, 4) AS cosine
         FROM pairs WHERE c6 >= 0.3
+    """
+    sql["q29_sessionize_batch"] = """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM s GROUP BY 1, 2
     """
     # q24/q26: the independent python reference crawler, emitted as
     # VALUES literals (engine vs single-threaded spec, not SQL-derivable)

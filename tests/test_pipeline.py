@@ -163,3 +163,33 @@ def test_phash_near_dups(spark):
 def test_no_row_python_in_pipeline_plans(spark, docs):
     plan = minhash_near_dups(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    from moca_spark.pipeline.clusters import connected_components
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["a", "b"],
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_decisions_end_to_end(spark, docs):
+    """Full pipeline: minhash near-dup pairs -> components -> keep/drop.
+    Docs 1,2,3,6 form one near-dup family (keep 1); 4,5 stand alone."""
+    from moca_spark.pipeline.clusters import dedup_decisions
+    from moca_spark.pipeline.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(docs, num_perm=32, bands=8, threshold=0.5)
+    out = {r.doc_id: (r.component, r.keep)
+           for r in dedup_decisions(docs, pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[6] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)

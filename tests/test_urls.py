@@ -149,3 +149,44 @@ def test_no_row_python_in_plan(spark):
     df = with_url_columns(spark.createDataFrame([("http://a.test/x",)], ["url"]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# --- property tests -------------------------------------------------------
+
+def test_canonicalize_never_throws_and_idempotent():
+    """canonicalize is total (None for junk) and IDEMPOTENT — the engine
+    re-canonicalizes already-canonical URLs (links table, seeds) and
+    parity with the oracle depends on stability."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        out = canonicalize_str(s)
+        if out is not None:
+            assert canonicalize_str(out) == out
+
+    check()
+
+
+def test_canonicalize_idempotent_on_urlish_inputs():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTP", "https", "ftp"])
+    host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
+    path = st.from_regex(r"(/[A-Za-z0-9._~%!$&'()*+,;=:@\-]{0,8}){0,4}/?",
+                         fullmatch=True)
+    extras = st.sampled_from(["", "?", "?a=1", "#frag", ":8080", ":80"])
+
+    @given(scheme, host, path, extras)
+    @settings(max_examples=300, deadline=None)
+    def check(sc, h, p, x):
+        s = f"{sc}://{h}{x if x.startswith(':') else ''}{p}{x if not x.startswith(':') else ''}"
+        out = canonicalize_str(s)
+        if out is not None:
+            again = canonicalize_str(out)
+            assert again == out, (s, out, again)
+
+    check()

@@ -532,6 +532,28 @@ def _q29_sessionize_batch(spark, sf_dir):
     )
 
 
+def _q30_connected_components(spark, sf_dir):
+    """Iterative connected components (min-label propagation,
+    pipeline/clusters.py) over a clique graph: parts are linked when
+    they share (p_brand, p_size). Components of cliques have an exact
+    closed form — min partkey per (brand, size) — which is the SQL
+    oracle; the Spark side runs the real iterative algorithm."""
+    from moca_spark.pipeline.clusters import connected_components
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    a = p.select(F.col("p_partkey").alias("a"), "p_brand", "p_size")
+    b = p.select(F.col("p_partkey").alias("b"), "p_brand", "p_size")
+    pairs = a.join(b, ["p_brand", "p_size"]).filter(F.col("a") < F.col("b")) \
+        .select("a", "b")
+    comp = connected_components(pairs, max_iter=6)
+    singles = p.join(comp, p.p_partkey == comp.node, "left_anti") \
+        .select(F.col("p_partkey").alias("node"),
+                F.col("p_partkey").alias("component"))
+    return comp.unionByName(singles).select(
+        F.col("node").alias("p_partkey"), "component"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_wave_slice_topk": _q01_wave_slice_topk,
@@ -563,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_tpch_q5ish": _q27_tpch_q5ish,
         "q28_cosine_block_dedup": _q28_cosine_block_dedup,
         "q29_sessionize_batch": _q29_sessionize_batch,
+        "q30_connected_components": _q30_connected_components,
     }
 
 
@@ -852,6 +875,12 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM s GROUP BY 1, 2
+    """
+    sql["q30_connected_components"] = """
+        SELECT p_partkey,
+               min(p_partkey) OVER (PARTITION BY p_brand, p_size)
+                 AS component
+        FROM part WHERE p_partkey < 400
     """
     # q24/q26: the independent python reference crawler, emitted as
     # VALUES literals (engine vs single-threaded spec, not SQL-derivable)

@@ -339,6 +339,13 @@ class CrawlEngine:
         (self._results_acc if name == "results" else self._metrics_acc).append(c)
         return c
 
+    def _needs_domains(self) -> bool:
+        """True iff some run's criteria (same-domain) or any registered
+        custom filter could read the domain columns."""
+        return bool(self.custom_by_name) or any(
+            r["same_domain"] for r in self.runs
+        )
+
     def _reconstruct(self) -> tuple[DataFrame, DataFrame]:
         """Eventlog mode: (frontier, seen) from the committed journal."""
         from moca_spark.store.lakehouse import _reconstruct_state
@@ -464,7 +471,14 @@ class CrawlEngine:
                 # frontier 'host' column is the partition key, which
                 # differs under a non-default partition_selector (U3)
                 url_host(F.col("url")).alias("src_host"),
-                domain_udf(url_host(F.col("url"))).alias("src_domain"),
+                # PSL domains need a pandas UDF (Arrow round-trip); skip
+                # it when no run's criteria and no custom filter can
+                # look at domains
+                (
+                    domain_udf(url_host(F.col("url")))
+                    if self._needs_domains()
+                    else F.lit(None).cast("string")
+                ).alias("src_domain"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("rank").alias("parent_rank"),
             )
@@ -489,7 +503,12 @@ class CrawlEngine:
         cand = (
             parents.join(links, ["src_url", "src_host"])
             .withColumn("dst_host", url_host(F.col("dst_url")))
-            .withColumn("dst_domain", domain_udf(F.col("dst_host")))
+            .withColumn(
+                "dst_domain",
+                domain_udf(F.col("dst_host"))
+                if self._needs_domains()
+                else F.lit(None).cast("string"),
+            )
         )
         cand = apply_criteria(cand, self.robots, self.custom_by_name)
 

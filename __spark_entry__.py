@@ -201,7 +201,13 @@ def _q08_dedup_rownum(spark, sf_dir):
     """J7: duplicate cleanup keeping the canonical row
     (min linenumber per (orderkey, partkey))."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    # Total order: synthetic lineitem has duplicate (orderkey, partkey,
+    # linenumber) groups with differing payloads, so the tie-break must
+    # be a full key or Spark and DuckDB keep different rows (round-1
+    # gate flap).
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_suppkey", "l_quantity",
+        "l_extendedprice")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -461,8 +467,9 @@ def _q26_crawl_robots(spark, sf_dir):
 
 
 def _q25_lsh_topk(spark, sf_dir):
-    """Approximate ANN (random-hyperplane LSH). No SQL twin (seeded
-    numpy hyperplanes) → rows-only check."""
+    """Approximate ANN (random-hyperplane LSH). Oracle: the seeded
+    hyperplanes are emitted as DOUBLE[] literals and the same
+    signature/band/cosine pipeline runs in DuckDB."""
     from moca_spark.pipeline.ann import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings") \
@@ -693,7 +700,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, count(*) AS n_kept
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY l_orderkey, l_partkey
-                      ORDER BY l_linenumber) rn
+                      ORDER BY l_linenumber, l_returnflag, l_suppkey,
+                               l_quantity, l_extendedprice) rn
                   FROM lineitem)
             WHERE rn = 1 GROUP BY 1
         """,
@@ -896,8 +904,46 @@ def oracle_sql() -> dict[str, str]:
         _ROBOTS_FIXTURE["edges"], budget=2,
         robots=_ROBOTS_FIXTURE["robots"],
     )
-    # q25_lsh_topk: seeded-numpy hyperplanes — not SQL-expressible,
-    # intentionally omitted (driver records rows-only check).
+    # q25_lsh_topk: the seeded hyperplanes are deterministic doubles
+    # (rounded to 6 dp at generation, ann.py:_hyperplanes), so they can
+    # be emitted as DOUBLE[] literals and the full LSH pipeline
+    # (signature -> 8x2-bit bands -> bucket join -> cosine re-rank)
+    # runs exactly in DuckDB.
+    from moca_spark.pipeline.ann import _hyperplanes
+
+    planes = _hyperplanes(dim=64, bits=16, seed=13)
+    plane_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    sql["q25_lsh_topk"] = f"""
+        WITH planes(p, pv) AS (VALUES {plane_values}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+                          THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+          FROM emb CROSS JOIN planes GROUP BY vec_id),
+        bandtab AS (SELECT unnest(generate_series(0, 7)) AS band),
+        qb AS (SELECT vec_id AS q_id, band,
+                      (sig >> (band * 2)) & 3 AS bkey
+               FROM sigs CROSS JOIN bandtab WHERE vec_id < 3),
+        cb AS (SELECT vec_id, band, (sig >> (band * 2)) & 3 AS bkey
+               FROM sigs CROSS JOIN bandtab),
+        cand AS (SELECT DISTINCT q_id, cb.vec_id
+                 FROM qb JOIN cb USING (band, bkey)),
+        scored AS (
+          SELECT q_id, cand.vec_id,
+                 round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine
+          FROM cand JOIN emb qe ON qe.vec_id = q_id
+                    JOIN emb ce ON ce.vec_id = cand.vec_id)
+        SELECT q_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
     return sql
 
 

@@ -59,6 +59,7 @@ from moca_spark.criteria.dsl import Work
 from moca_spark.criteria.stages import apply_criteria
 from moca_spark.filters.bloom import BloomFilter, build_bloom_from_df
 from moca_spark.functions.urls import (
+    canonicalize_str,
     canonicalize_udf,
     domain_udf,
     url_host,
@@ -210,18 +211,28 @@ class CrawlEngine:
     # -- entry point 1: AddWork (SeedInputParser -> PgRunControl.add) ----
     def add_works(self, works: list[Work]) -> int:
         """Register works; duplicate work ids are skipped (A6,
-        PgRunControl.scala:71-74). Returns number actually added."""
+        PgRunControl.scala:71-74). Returns number actually added.
+
+        Seed URLs are canonicalized here (the reference canonicalizes at
+        Url construction, url/Url.scala) so programmatic Works behave
+        like file-parsed ones — links and corpus are keyed by canonical
+        URLs, so a raw 'http://Example.com/a#f' seed would otherwise
+        silently never fetch. Invalid seeds raise, mirroring
+        parse_seed_lines."""
         existing = {r["run_id"] for r in self.runs}
         added = 0
         for w in works:
             if w.work_id in existing:
                 continue
+            seed = canonicalize_str(w.seed_url)
+            if seed is None:
+                raise ValueError(f"invalid seed url: {w.seed_url!r}")
             existing.add(w.work_id)
             spec = w.criteria
             self.runs.append(
                 {
                     "run_id": w.work_id,
-                    "seed_url": w.seed_url,
+                    "seed_url": seed,
                     "seed_seq": len(self.runs),
                     **spec.as_row(),
                 }

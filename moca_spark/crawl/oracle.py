@@ -101,7 +101,10 @@ def oracle_crawl(
         if w.work_id in started:  # duplicate AddWork ignored (A6)
             continue
         started.add(w.work_id)
-        frontier[(w.work_id, w.seed_url)] = (0, i)
+        seed = canonicalize_str(w.seed_url)  # mirrors engine.add_works
+        if seed is None:
+            raise ValueError(f"invalid seed url: {w.seed_url!r}")
+        frontier[(w.work_id, seed)] = (0, i)
 
     res = OracleResult()
     host_pos: dict[str, int] = {}

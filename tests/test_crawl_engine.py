@@ -241,6 +241,35 @@ def test_duplicate_work_ignored(spark, tmp_path):
     }
 
 
+def test_programmatic_seed_is_canonicalized(spark, tmp_path):
+    """Seeds given to add_works directly (not via parse_seed_lines) are
+    canonicalized like the reference's Url constructor (url/Url.scala):
+    a messy 'HTTP://Site0.TEST/0#frag' seed must still fetch and expand,
+    since links/corpus are keyed by canonical URLs."""
+    works = [W("w1", "HTTP://Site0.TEST/0#frag", max_depth=5)]
+    edges = chain_graph(n=4)
+    # corpus_urls must come from the canonical seed, so derive explicitly
+    got, want = run_both(spark, tmp_path, works, edges, budget=2)
+    assert_match(got, want)
+    assert [r["url"] for r in want.crawl_order] == [
+        f"http://site0.test/{i}" for i in range(4)
+    ]
+
+
+def test_invalid_seed_rejected(spark, tmp_path):
+    """Engine and oracle both reject unparseable / non-http seeds,
+    mirroring parse_seed_lines."""
+    from moca_spark.crawl.oracle import oracle_crawl
+
+    for bad in ("not a url", "ftp://x.test/"):
+        works = [W("w1", bad, max_depth=2)]
+        with pytest.raises(ValueError):
+            make_engine(spark, tmp_path, works, chain_graph(n=2),
+                        corpus_urls=set())
+        with pytest.raises(ValueError):
+            oracle_crawl(works, chain_graph(n=2), corpus_urls=set())
+
+
 def test_two_runs_same_host_interleave(spark, tmp_path):
     """Two runs crawling one host share its politeness budget (the
     global one-task-per-partition lock, PartitionScheduler)."""

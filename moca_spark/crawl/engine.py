@@ -26,20 +26,33 @@ for one politeness window") does:
                (store/lakehouse.py) — the Akka journal/snapshot analog.
                Three layouts: memory (localCheckpoint, tests/bench),
                full snapshots (durable=True), or the append-only event
-               journal (durable="eventlog") that writes O(delta) per
-               wave and reconstructs state by aggregation — the layout
-               for the 10^10 target (EventLogStore docstring).
+               journal (durable="eventlog"): O(delta) durable writes
+               per wave while the live state chains in memory via
+               localCheckpoint; the journal is re-aggregated only on
+               resume/compaction — the layout for the 10^10 target
+               (EventLogStore docstring).
 
 Scale notes (the 100 TB story):
 - No unbounded per-host window anywhere: slicing is salted two-phase
   top-K; fresh-candidate seq needs no numbering at all (see
   crawl/oracle.py ordering contract).
-- Every join shuffles on its natural key and AQE handles skew; the
-  links-graph join is the big one and is a plain shuffled hash join.
+- State joins/sorts are led by a 64-bit hash key (STATE_KEYS) with the
+  URL string demoted to payload+tiebreak; AQE handles skew on the
+  expand path; the links-graph join broadcasts the (small) parent side
+  at runtime.
+- The SEEN table (the 10^10 monster) is an LSM: folded base + per-wave
+  deltas (_fold_seen/_admit_unseen). The base is hash-partitioned and
+  sorted by STATE_KEYS, preserved through AQE-off localCheckpoints
+  (_materialize), so the per-wave admission join runs with ZERO
+  exchange and ZERO sort on the base side (tools/plan_audit.py asserts
+  this on the physical plan). Folds amortize the O(|seen|) rewrite
+  over fold_every waves, and only the deltas shuffle.
+- Per-wave frontier cost: one shuffle for the salted slice and one for
+  the merge groupBy — both O(|frontier|), and the frontier is orders
+  of magnitude smaller than seen at steady state.
 - The runs/criteria table and robots rules are broadcast.
-- Per-wave state is re-read from the checkpoint, so lineage stays one
-  scan deep regardless of wave count (no plan blow-up across
-  iterations).
+- Lineage is cut per wave (localCheckpoint / snapshot re-read), so
+  plans stay one scan deep regardless of wave count.
 - Python appears only in Arrow UDFs (canonicalize, PSL domain) and in
   the optional bloom pre-filter; everything else is codegen'd JVM.
 """
@@ -70,6 +83,12 @@ from moca_spark.store.lakehouse import CheckpointStore
 
 SEQ_WAVE_STRIDE = 1 << 32
 POLITENESS_INTERVAL_S = 5  # reference default, role/Task.scala:12
+
+# Canonical state key: a 64-bit hash LEADS every state join/group/sort
+# so per-row comparisons and sorts touch an 8-byte long first and the
+# ~80-byte URL string only on hash-equal rows; run_id+url stay in the
+# key set, so a hash collision can never merge distinct URLs.
+STATE_KEYS = ["_key", "run_id", "url"]
 
 
 @dataclass
@@ -128,6 +147,7 @@ class CrawlEngine:
         collect_metrics: bool = True,
         compact_every: int = 0,
         links_canonical: bool = False,
+        fold_every: int = 8,
     ):
         self.spark = spark
         self.images = images
@@ -155,6 +175,15 @@ class CrawlEngine:
         self.verify_fetch = verify_fetch
         self.collect_metrics = collect_metrics
         self.compact_every = compact_every  # eventlog: fold journal every N waves
+        # Seen-state LSM: the (monotonically growing, 10^10-target) seen
+        # table is kept as a big folded BASE plus a stack of per-wave
+        # consume DELTAS; deltas fold into the base every `fold_every`
+        # waves. Per-wave work on the seen side is then O(delta) — the
+        # base is never unioned/re-shuffled per wave (snapshot mode
+        # still folds every wave: it must write full state anyway).
+        self.fold_every = max(1, fold_every)
+        self._seen_base: DataFrame | None = None
+        self._seen_deltas: list[DataFrame] = []
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -165,6 +194,7 @@ class CrawlEngine:
             if (use_bloom and use_bloom != "sharded")
             else None
         )
+        self._bloom_bc = None  # previous wave's monolith-bloom broadcast
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
@@ -258,8 +288,9 @@ class CrawlEngine:
             self.partition_selector(F.col("seed_url")).alias("host"),
             F.lit(0).alias("depth"),
             F.col("seed_seq").alias("seq"),
-        )
-        seen = frontier.select("run_id", "url", "depth").filter(F.lit(False)) \
+        ).withColumn("_key", self._seen_key())
+        seen = frontier.select("_key", "run_id", "url", "depth") \
+            .filter(F.lit(False)) \
             .withColumnRenamed("depth", "best_depth")
         return frontier, seen
 
@@ -290,8 +321,14 @@ class CrawlEngine:
                     ),
                 )
                 frontier, seen = self._reconstruct()
+            elif self.durable:
+                frontier, seen = self.store.commit_wave(
+                    0, frontier, seen, None, None
+                )
             else:
-                frontier, seen = self._commit(0, frontier, seen, None, None)
+                frontier = frontier.localCheckpoint(eager=True)
+                seen = seen.localCheckpoint(eager=True)
+        self._seen_base, self._seen_deltas = seen, []
 
         runs_b = F.broadcast(self._runs_df())
         wave = start
@@ -299,14 +336,16 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
             wave += 1
-            frontier, seen = self._step(wave, frontier, seen, runs_b)
+            frontier = self._step(wave, frontier, runs_b)
             if self.durable is True and self.keep_snapshots:
                 self.store.expire_snapshots(self.keep_snapshots)
             if (self.durable == "eventlog" and self.compact_every
                     and wave % self.compact_every == 0):
                 self.store.compact(wave)
                 frontier, seen = self._reconstruct()
+                self._seen_base, self._seen_deltas = seen, []
 
+        seen = self._fold_seen()
         if self.durable:
             results, metrics = self.store.all_results(), self.store.all_metrics()
         else:
@@ -322,23 +361,69 @@ class CrawlEngine:
             out = out.unionByName(df)
         return out
 
-    def _commit(
-        self, wave: int, frontier: DataFrame, seen: DataFrame,
-        results: DataFrame | None = None, metrics: DataFrame | None = None,
-    ) -> tuple[DataFrame, DataFrame]:
-        """Durable mode: atomic wave snapshot (exactly-once resume).
-        Memory mode: localCheckpoint truncates lineage, results kept as
-        checkpointed increments — same dataflow, no disk."""
-        if self.durable:
-            return self.store.commit_wave(wave, frontier, seen, results, metrics)
-        if results is not None:
-            self._results_acc.append(results.localCheckpoint(eager=True))
-        if metrics is not None:
-            self._metrics_acc.append(metrics.localCheckpoint(eager=True))
-        return (
-            frontier.localCheckpoint(eager=True),
-            seen.localCheckpoint(eager=True),
+    def _materialize(self, df: DataFrame, sort: bool = False) -> DataFrame:
+        """localCheckpoint planned with AQE OFF: under AQE the
+        checkpointed LogicalRDD reports UnknownPartitioning (the
+        AdaptiveSparkPlan hides the final plan's partitioning), so every
+        later state join would re-shuffle the big side. Planned without
+        AQE, the checkpoint keeps outputPartitioning AND outputOrdering
+        — downstream same-key joins/aggregations skip the exchange (and
+        with ``sort=True`` the sort-merge sort) on this side entirely.
+        State-merge plans are uniform hash-keyed shapes; they don't need
+        AQE's skew handling (the expand/slice stages keep AQE)."""
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            if sort:
+                df = df.sortWithinPartitions(*STATE_KEYS)
+            return df.localCheckpoint(eager=True)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    def _fold_seen(self) -> DataFrame:
+        """Fold the pending consume deltas into the seen base (min
+        best_depth per (run, url)) — the LSM compaction of the seen
+        state. The base is already hash-partitioned by STATE_KEYS from
+        the previous fold, so only the deltas shuffle; the rewrite cost
+        is O(|seen|) local work, amortized over `fold_every` waves."""
+        if not self._seen_deltas:
+            return self._seen_base
+        merged = self._seen_base
+        for d in self._seen_deltas:
+            merged = merged.unionByName(d)
+        folded = self._materialize(
+            merged.groupBy(*STATE_KEYS)
+            .agg(F.min("best_depth").alias("best_depth")),
+            sort=True,
         )
+        self._seen_base, self._seen_deltas = folded, []
+        return folded
+
+    def _admit_unseen(self, df: DataFrame) -> DataFrame:
+        """The J1/T8 admission rule over the base+delta seen state:
+        keep rows never seen, or seen only at a strictly larger depth
+        (re-crawl). One left join against the (big) base — which is
+        hash-partitioned AND sorted by STATE_KEYS from the fold, so it
+        joins with no exchange and no sort — and one against the
+        (small) delta stack. The base is never unioned or re-shuffled
+        per wave."""
+        out = df.join(
+            self._seen_base.withColumnRenamed("best_depth", "_bd_base"),
+            STATE_KEYS, "left",
+        )
+        if self._seen_deltas:
+            d = self._seen_deltas[0]
+            for extra in self._seen_deltas[1:]:
+                d = d.unionByName(extra)
+            d_min = d.groupBy(*STATE_KEYS).agg(
+                F.min("best_depth").alias("_bd_delta")
+            )
+            out = out.join(d_min, STATE_KEYS, "left")
+        else:
+            out = out.withColumn("_bd_delta", F.lit(None).cast("int"))
+        bd = F.least("_bd_base", "_bd_delta")
+        return out.filter(bd.isNull() | (F.col("depth") < bd)) \
+            .drop("_bd_base", "_bd_delta")
 
     def _checkpoint_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
         """Materialize a per-wave append table once; downstream reads
@@ -358,19 +443,26 @@ class CrawlEngine:
         )
 
     def _reconstruct(self) -> tuple[DataFrame, DataFrame]:
-        """Eventlog mode: (frontier, seen) from the committed journal."""
+        """Eventlog mode: (frontier, seen) from the committed journal.
+        The journal itself stays hash-free; the state key is recomputed
+        here (one projection over the aggregated state)."""
         from moca_spark.store.lakehouse import _reconstruct_state
 
         log = self.store.read_log()
         if log is None:
             empty_f = self.spark.createDataFrame(
-                [], "run_id string, url string, host string, depth int, seq long"
+                [],
+                "run_id string, url string, host string, depth int, seq long",
             )
             empty_s = self.spark.createDataFrame(
                 [], "run_id string, url string, best_depth int"
             )
-            return empty_f, empty_s
-        return _reconstruct_state(log)
+        else:
+            empty_f, empty_s = _reconstruct_state(log)
+        return (
+            empty_f.withColumn("_key", self._seen_key()),
+            empty_s.withColumn("_key", self._seen_key()),
+        )
 
     @staticmethod
     def _seen_key(run_col: str = "run_id", url_col: str = "url") -> F.Column:
@@ -378,24 +470,22 @@ class CrawlEngine:
         return F.xxhash64(F.concat_ws("\x00", F.col(run_col), F.col(url_col)))
 
     def _step(
-        self, wave: int, frontier: DataFrame, seen: DataFrame, runs_b: DataFrame
-    ) -> tuple[DataFrame, DataFrame]:
+        self, wave: int, frontier: DataFrame, runs_b: DataFrame
+    ) -> DataFrame:
         # 1. SLICE — per-host politeness-bounded queue heads
         sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
-        # `rest` is only needed by the full-rewrite merge path; the
-        # eventlog journal makes the anti-join unnecessary
-        rest = None
-        if self.durable != "eventlog":
-            rest = frontier.join(
-                sliced.select("run_id", "url"), ["run_id", "url"], "left_anti"
-            )
+        # frontier is hash-partitioned+sorted by STATE_KEYS from the
+        # previous merge — the anti-join moves only the small slice
+        rest = frontier.join(
+            sliced.select(*STATE_KEYS), STATE_KEYS, "left_anti"
+        )
 
         # incremental bloom maintenance: this wave's fetches ARE the new
         # seen entries; add their keys via distributed partial bitmaps
         if self._bloom is not None:
             self._bloom.merge(
                 build_bloom_from_df(
-                    sliced.select(self._seen_key().alias("k")), "k",
+                    sliced.select(F.col("_key").alias("k")), "k",
                     self.bloom_capacity,
                 )
             )
@@ -406,7 +496,7 @@ class CrawlEngine:
             )
 
             delta = build_sharded_bloom(
-                sliced.select(self._seen_key().alias("k")), "k",
+                sliced.select(F.col("_key").alias("k")), "k",
                 self.n_bloom_shards, self.bloom_capacity,
             )
             self._bloom_shards = (
@@ -460,13 +550,13 @@ class CrawlEngine:
             ).alias("fetch_offset_s"),
         )
 
-        # 3. SEEN — min-depth merge (fetch failures count as seen too)
-        seen_new = (
-            seen.unionByName(
-                sliced.select("run_id", "url", F.col("depth").alias("best_depth"))
-            )
-            .groupBy("run_id", "url")
-            .agg(F.min("best_depth").alias("best_depth"))
+        # 3. SEEN — this wave's fetches (incl. failures) are a new
+        #    consume DELTA pushed onto the stack; the min-depth merge
+        #    into the base happens lazily in _fold_seen (LSM layout).
+        self._seen_deltas.append(
+            sliced.select("_key", "run_id", "url",
+                          F.col("depth").alias("best_depth"))
+            .localCheckpoint(eager=True)
         )
 
         # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
@@ -525,6 +615,11 @@ class CrawlEngine:
 
         # 5. DEDUP — consolidate, then classify vs seen (re-crawl on
         #    strictly smaller depth)
+        # Materialized once per wave (AQE ON: the expand join is the
+        # skew-prone stage): every downstream consumer — bloom probes,
+        # the admit joins, frontier merge, the events append — reuses
+        # this checkpoint instead of re-running expand+criteria (the
+        # eventlog path used to compute the expansion twice).
         cand2 = (
             cand.groupBy("run_id", "dst_url", "dst_host")
             .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
@@ -535,9 +630,11 @@ class CrawlEngine:
                 F.col("m.depth").alias("depth"),
                 F.col("m.parent_rank").alias("parent_rank"),
             )
+            .withColumn("_key", self._seen_key())
+            .localCheckpoint(eager=True)
         )
         fresh_cols = [
-            "run_id", "url",
+            "_key", "run_id", "url",
             self.partition_selector(F.col("url")).alias("host"),
             "depth",
             (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
@@ -547,72 +644,57 @@ class CrawlEngine:
             # those rows are admitted without touching the seen table;
             # HITs go to the exact join, which alone decides (false
             # positives cost join work, never correctness).
-            bloom_bytes = self.spark.sparkContext.broadcast(self._bloom.to_bytes())
+            # the previous wave's broadcast is fully consumed once that
+            # wave's state materialized — release it or a long crawl
+            # leaks waves × bloom-size on driver and executors
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist()
+            bloom_bytes = self._bloom_bc = \
+                self.spark.sparkContext.broadcast(self._bloom.to_bytes())
 
             @pandas_udf(BooleanType())
             def maybe_seen(keys: pd.Series) -> pd.Series:
                 bf = BloomFilter.from_bytes(bloom_bytes.value)
                 return pd.Series(bf.contains_many(keys.to_numpy()))
 
-            tagged = cand2.withColumn("_maybe", maybe_seen(self._seen_key()))
+            tagged = cand2.withColumn("_maybe", maybe_seen(F.col("_key")))
             definitely_new = tagged.filter(~F.col("_maybe")).select(*fresh_cols)
-            checked = (
+            checked = self._admit_unseen(
                 tagged.filter(F.col("_maybe"))
-                .join(seen_new, ["run_id", "url"], "left")
-                .filter(
-                    F.col("best_depth").isNull()
-                    | (F.col("depth") < F.col("best_depth"))
-                )
-                .select(*fresh_cols)
-            )
+            ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
         elif self.bloom_mode == "sharded" and self._bloom_shards is not None:
             from moca_spark.filters.sharded_bloom import probe_sharded_bloom
 
             tagged = probe_sharded_bloom(
-                cand2.withColumn("_k", self._seen_key()), "_k",
+                cand2.withColumn("_k", F.col("_key")), "_k",
                 self._bloom_shards, self.n_bloom_shards,
             ).drop("_k")
             definitely_new = tagged.filter(~F.col("_maybe_seen")).select(*fresh_cols)
-            checked = (
+            checked = self._admit_unseen(
                 tagged.filter(F.col("_maybe_seen"))
-                .join(seen_new, ["run_id", "url"], "left")
-                .filter(
-                    F.col("best_depth").isNull()
-                    | (F.col("depth") < F.col("best_depth"))
-                )
-                .select(*fresh_cols)
-            )
+            ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
         else:
-            fresh = (
-                cand2.join(seen_new, ["run_id", "url"], "left")
-                .filter(
-                    F.col("best_depth").isNull()
-                    | (F.col("depth") < F.col("best_depth"))
-                )
-                .select(*fresh_cols)
-            )
+            fresh = self._admit_unseen(cand2).select(*fresh_cols)
+        # AQE-off materialization: the admit joins against the seen
+        # base plan here, so the base side runs exchange-free/sort-free
+        # (see _materialize); also makes `fresh` single-compute for its
+        # two consumers (merge + events).
+        fresh = self._materialize(fresh)
 
         # 6. MERGE — frontier keeps min (depth, seq) per (run, url).
-        #    Eventlog mode skips the merge (and the `rest` anti-join)
-        #    entirely: the wave's consumes + adds are appended to the
-        #    journal and the next frontier is reconstructed from it —
-        #    O(delta) writes instead of O(frontier) rewrite.
-        if self.durable == "eventlog":
-            frontier_new = None
-        else:
-            frontier_new = (
-                rest.unionByName(fresh)
-                .groupBy("run_id", "url")
-                .agg(
-                    F.min(F.struct("depth", "seq")).alias("m"),
-                    F.first("host").alias("host"),
-                )
-                .select("run_id", "url", "host",
-                        F.col("m.depth").alias("depth"),
-                        F.col("m.seq").alias("seq"))
+        frontier_new = (
+            rest.unionByName(fresh)
+            .groupBy(*STATE_KEYS)
+            .agg(
+                F.min(F.struct("depth", "seq")).alias("m"),
+                F.first("host").alias("host"),
             )
+            .select("_key", "run_id", "url", "host",
+                    F.col("m.depth").alias("depth"),
+                    F.col("m.seq").alias("seq"))
+        )
 
         # 7. COMMIT — results first (one materialization), metrics
         #    derived from the checkpointed results (A7 lineage), then
@@ -630,6 +712,10 @@ class CrawlEngine:
             )
             self._checkpoint_increment(wave, "metrics", metrics_w)
         if self.durable == "eventlog":
+            # O(delta) durable append; the live state is chained in
+            # memory (localCheckpoint) — the journal is read back ONLY
+            # on resume and after compaction, never per wave (a
+            # per-wave O(|log|) re-aggregation would dominate at scale).
             events = sliced.select(
                 "run_id", "url", "host", "depth", "seq",
                 F.lit("consume").alias("kind"), F.lit(wave).alias("wave"),
@@ -640,8 +726,18 @@ class CrawlEngine:
                 )
             )
             self.store.append_events(wave, events)
-            out = self._reconstruct()
+            frontier_out = self._materialize(frontier_new, sort=True)
+        elif self.durable:
+            # snapshot mode writes full state every wave anyway, so the
+            # deltas fold every wave and the committed state is re-read
+            # (lineage = one scan)
+            frontier_out, seen_rd = self.store.commit_wave(
+                wave, frontier_new, self._fold_seen(), None, None
+            )
+            self._seen_base = seen_rd
         else:
-            out = self._commit(wave, frontier_new, seen_new)
+            frontier_out = self._materialize(frontier_new, sort=True)
+        if len(self._seen_deltas) >= self.fold_every:
+            self._fold_seen()
         sliced.unpersist()
-        return out
+        return frontier_out

@@ -123,17 +123,27 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate images via perceptual-hash hamming distance,
-    LSH-style: split the 64-bit phash into 4 16-bit bands — any pair
-    within hamming<=6 of each other shares at least one exact band
-    (pigeonhole over 4 bands: <=6 differing bits can't hit all 4).
-    Band-bucket join + exact popcount verify; no cross join."""
+    LSH-style: split the 64-bit phash into n_bands equal bands with
+    n_bands > max_hamming — then any pair within hamming<=max_hamming
+    shares at least one exact band (pigeonhole: max_hamming differing
+    bits cannot touch all n_bands bands). 100% recall within the
+    radius; band-bucket join + exact popcount verify, no cross join.
+
+    NOTE the count must strictly exceed max_hamming: 4 bands do NOT
+    guarantee recall at hamming 4-6 (6 bits can spread 2+2+1+1 over 4
+    bands), which was a round-1 bug."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64)")
+    n_bands = next(n for n in (1, 2, 4, 8, 16, 32, 64) if n > max_hamming)
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
-            F.shiftright(F.col("phash"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+            F.shiftright(F.col("phash"), i * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("bkey"),
         )
-        for i in range(4)
+        for i in range(n_bands)
     ])
     banded = images.select("image_id", "phash", F.explode(bands).alias("b")) \
         .select("image_id", "phash", F.col("b.band"), F.col("b.bkey"))

@@ -152,11 +152,12 @@ class EventLogStore(CheckpointStore):
         pending iff cd is null or am.depth < cd   -> frontier row
         seen    iff cd not null, best_depth = cd  -> seen row
 
-    Per wave: write O(|slice| + |fresh|), read O(|log|) once for the
-    aggregation — no rewrite, and the log IS the journal (T3): the
-    commit marker publishes the wave's events atomically; replay =
-    re-aggregate committed events. This mirrors a merge-on-read
-    Iceberg/Hudi table with periodic compaction (``compact()``)."""
+    Per wave: write O(|slice| + |fresh|) and read NOTHING — the engine
+    chains the live state in memory (localCheckpoint); reconstruction
+    by aggregation runs only on resume and after ``compact()``. The log
+    IS the journal (T3): the commit marker publishes the wave's events
+    atomically; replay = re-aggregate committed events. This mirrors a
+    merge-on-read Iceberg/Hudi table with periodic compaction."""
 
     def append_events(self, wave: int, events: DataFrame,
                       extra: dict | None = None) -> None:

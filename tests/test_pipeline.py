@@ -160,6 +160,45 @@ def test_phash_near_dups(spark):
     assert any(r.hamming == 0 for r in pairs)
 
 
+def test_phash_near_dups_adversarial_spread_recall(spark):
+    """Recall guarantee within the radius: flips spread so that EVERY
+    16-bit quarter of the hash differs (the round-1 4-band scheme
+    missed these pairs at hamming 4-6). With bands > max_hamming the
+    pigeonhole guarantee is real: one band must be untouched."""
+    base = 0x123456789ABCDEF0
+    cases = {
+        # one flipped bit in each 16-bit quarter -> hamming 4
+        "spread4": base ^ ((1 << 3) | (1 << 19) | (1 << 35) | (1 << 51)),
+        # 2+2+1+1 across the quarters -> hamming 6
+        "spread6": base ^ ((1 << 0) | (1 << 5) | (1 << 17) | (1 << 22)
+                          | (1 << 40) | (1 << 60)),
+    }
+    rows = [("base", base)] + [(k, v) for k, v in cases.items()]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = {(r.a, r.b): r.hamming
+             for r in phash_near_dups(df, max_hamming=6).collect()}
+    assert pairs[("base", "spread4")] == 4
+    assert pairs[("base", "spread6")] == 6
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer doubling closes a diameter-300 chain in O(log d) rounds;
+    the old one-hop propagation needed 300. Also: exhausting max_iter
+    must raise, never return under-merged labels."""
+    import pytest as _pytest
+
+    from moca_spark.pipeline.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["a", "b"]
+    ).coalesce(4)
+    comp = connected_components(pairs, max_iter=15).collect()
+    assert all(r.component == 0 for r in comp)
+    assert len(comp) == 301
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_no_row_python_in_pipeline_plans(spark, docs):
     plan = minhash_near_dups(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan

@@ -116,6 +116,54 @@ def main() -> int:
     check("conf: skew-join enabled",
           spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
 
+    # 8. seen-state LSM: the folded base must join exchange-free AND
+    #    sort-free (hash-partitioned + sorted by STATE_KEYS, preserved
+    #    through the AQE-off localCheckpoint). Build the state exactly
+    #    the way the engine does and audit the admit plan.
+    from moca_spark.crawl.engine import CrawlEngine
+
+    links0 = spark.createDataFrame(
+        [("http://h.test/a", "http://h.test/b")], ["src_url", "dst_url"])
+    from moca_spark.sources.synth import images_for_urls
+
+    eng = CrawlEngine(spark, links0, images_for_urls(spark, ["http://h.test/a"]),
+                      durable=False)
+    state_src = (
+        scale_frontier(spark, 100_000, 500, 8)
+        .withColumn("run_id", F.lit("r"))
+        .withColumn("_key", CrawlEngine._seen_key())
+    )
+    eng._seen_base = state_src.select(
+        "_key", "run_id", "url", F.col("depth").alias("best_depth")
+    ).filter(F.lit(False)).localCheckpoint(eager=True)
+    eng._seen_deltas = [state_src.select(
+        "_key", "run_id", "url", F.col("depth").alias("best_depth")
+    ).localCheckpoint(eager=True)]
+    base = eng._fold_seen()
+    cand = (
+        scale_frontier(spark, 5_000, 500, 8, seed=2)
+        .withColumn("run_id", F.lit("r"))
+        .withColumn("_key", CrawlEngine._seen_key())
+        .localCheckpoint(eager=True)
+    )
+    # a 100k-row audit base fits under the broadcast threshold (which
+    # would be the RIGHT plan at this size); force the big-state SMJ
+    # shape the 10^10 base would take
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    p = plan_of(eng._admit_unseen(cand))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    check("seen base: SortMergeJoin on (_key, run_id, url)",
+          "SortMergeJoin [_key" in p)
+    check("seen base: exactly one Exchange (candidates only — base side "
+          "exchange-free)", p.count("Exchange hashpartitioning") == 1,
+          f"found {p.count('Exchange hashpartitioning')}")
+    n_sorts = p.count(" Sort [")
+    check("seen base: exactly one Sort (candidates only — base pre-sorted "
+          "at fold)", n_sorts == 1, f"found {n_sorts}")
+
     spark.stop()
     print(f"\n{'ALL PASS' if not FAILED else f'{len(FAILED)} FAILED: {FAILED}'}")
     return 1 if FAILED else 0

@@ -28,6 +28,15 @@ def _force(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+STATE_KEYS = ["_key", "run_id", "url"]
+
+
+def _with_key(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_key", F.xxhash64(F.concat_ws("\x00", F.col("run_id"), F.col("url")))
+    )
+
+
 def frontier_schedule_dedup(
     spark: SparkSession,
     n_frontier: int = 2_000_000,
@@ -36,23 +45,34 @@ def frontier_schedule_dedup(
     budget: int = 100,
     partitions: int = 64,
     materialize_dir: str | None = None,
+    fold_every: int = 8,
+    dedup_aqe: bool = False,
 ) -> dict:
-    """One full scheduling+dedup round at scale; returns throughput.
+    """One full scheduling+dedup wave at scale; returns throughput.
+
+    Mirrors the engine's current hot path exactly (crawl/engine.py):
+    hash-key-led state keys (STATE_KEYS), the seen BASE pre-partitioned
+    and pre-sorted by those keys (as _fold_seen leaves it) so the
+    admission join runs exchange-free/sort-free on the base side, the
+    frontier state likewise, and the periodic LSM fold timed separately
+    and amortized over ``fold_every`` waves.
 
     With ``materialize_dir`` the synthetic inputs are written to parquet
-    first (untimed) and the kernel is timed over table scans — the
-    cluster-faithful shape (the frontier IS a checkpointed table, read
-    each wave). Without it, inputs regenerate lazily inside each stage
-    (still correct, but generation cost is included in the timing)."""
-    frontier = scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1) \
+    first (untimed) and state tables are prepared from table scans —
+    the cluster-faithful shape. State prep (the fold result carried
+    from previous waves) is untimed; its per-wave amortized cost is
+    measured by timing one real fold and dividing by fold_every."""
+    frontier = _with_key(
+        scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1)
         .withColumn("run_id", F.lit("bench"))
+    )
     # seen = half the candidate id space -> ~50% dedup hit rate
-    seen = (
+    seen = _with_key(
         scale_frontier(spark, n_candidates // 2, n_hosts, partitions, seed=2)
         .select("url", F.col("depth").alias("best_depth"))
         .withColumn("run_id", F.lit("bench"))
     )
-    candidates = (
+    candidates = _with_key(
         scale_frontier(spark, n_candidates, n_hosts, partitions, seed=2)
         .select("url", "host", "depth",
                 (F.col("seq") % 100 + 1).alias("parent_rank"))
@@ -66,41 +86,86 @@ def frontier_schedule_dedup(
         seen = spark.read.parquet(f"{materialize_dir}/seen")
         candidates = spark.read.parquet(f"{materialize_dir}/candidates")
 
+    # ---- state prep (untimed): the shape previous waves left behind —
+    # KEYS-partitioned, KEYS-sorted, checkpointed with AQE off so the
+    # partitioning/ordering survive into this wave's plans
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    base = (
+        seen.groupBy(*STATE_KEYS)
+        .agg(F.min("best_depth").alias("best_depth"))
+        .sortWithinPartitions(*STATE_KEYS)
+        .localCheckpoint(eager=True)
+    )
+    fr_state = (
+        frontier.groupBy(*STATE_KEYS)
+        .agg(F.min(F.struct("depth", "seq")).alias("m"),
+             F.first("host").alias("host"))
+        .select("_key", "run_id", "url", "host",
+                F.col("m.depth").alias("depth"), F.col("m.seq").alias("seq"))
+        .sortWithinPartitions(*STATE_KEYS)
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
     t0 = time.time()
-    # SCHEDULE: politeness-bounded per-host priority-queue heads
-    sliced = top_k_per_host(frontier, budget, n_salts=16)
+    # SCHEDULE: politeness-bounded per-host priority-queue heads (AQE
+    # on); cached like the engine does — the slice is consumed by the
+    # anti-join, the seen delta and (in the engine) the fetch join
+    sliced = top_k_per_host(fr_state, budget, n_salts=16).cache()
     _force(sliced)
     t_sched = time.time() - t0
 
     t1 = time.time()
-    # DEDUP: consolidate per url, exact anti-join classification vs seen
-    cand2 = (
-        candidates.groupBy("run_id", "url", "host")
-        .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
-        .select("run_id", "url", "host",
-                F.col("m.depth").alias("depth"),
-                F.col("m.parent_rank").alias("parent_rank"))
-    )
-    fresh = (
-        cand2.join(seen, ["run_id", "url"], "left")
-        .filter(F.col("best_depth").isNull() |
-                (F.col("depth") < F.col("best_depth")))
-        .select("run_id", "url", "host", "depth",
-                (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
-    )
-    # MERGE: min-(depth,seq) per url over rest + fresh
-    rest = frontier.join(sliced.select("run_id", "url"),
-                         ["run_id", "url"], "left_anti")
-    merged = (
-        rest.unionByName(fresh)
-        .groupBy("run_id", "url")
-        .agg(F.min(F.struct("depth", "seq")).alias("m"),
-             F.first("host").alias("host"))
-    )
-    _force(merged)
-    t_dedup = time.time() - t1
+    # DEDUP+MERGE (AQE off, as in engine._materialize): consolidate per
+    # url, classify vs the untouched base, min-merge the frontier
+    spark.conf.set("spark.sql.adaptive.enabled",
+                   "true" if dedup_aqe else "false")
+    try:
+        cand2 = (
+            candidates.groupBy("_key", "run_id", "url", "host")
+            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+            .select("_key", "run_id", "url", "host",
+                    F.col("m.depth").alias("depth"),
+                    F.col("m.parent_rank").alias("parent_rank"))
+        )
+        fresh = (
+            cand2.join(base, STATE_KEYS, "left")
+            .filter(F.col("best_depth").isNull() |
+                    (F.col("depth") < F.col("best_depth")))
+            .select("_key", "run_id", "url", "host", "depth",
+                    (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
+        )
+        # MERGE: min-(depth,seq) per url over rest + fresh
+        rest = fr_state.join(sliced.select(*STATE_KEYS),
+                             STATE_KEYS, "left_anti")
+        merged = (
+            rest.unionByName(fresh)
+            .groupBy(*STATE_KEYS)
+            .agg(F.min(F.struct("depth", "seq")).alias("m"),
+                 F.first("host").alias("host"))
+        )
+        _force(merged)
+        t_dedup = time.time() - t1
 
-    total = time.time() - t0
+        # FOLD (timed once, amortized /fold_every): the LSM compaction
+        # of the seen base with this wave's consume delta
+        t2 = time.time()
+        delta = sliced.select("_key", "run_id", "url",
+                              F.col("depth").alias("best_depth"))
+        folded = (
+            base.unionByName(delta)
+            .groupBy(*STATE_KEYS)
+            .agg(F.min("best_depth").alias("best_depth"))
+            .sortWithinPartitions(*STATE_KEYS)
+        )
+        _force(folded)
+        t_fold = time.time() - t2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        sliced.unpersist()
+
+    total = t_sched + t_dedup + t_fold / fold_every
     processed = n_frontier + n_candidates
     return {
         "n_frontier": n_frontier,
@@ -108,6 +173,8 @@ def frontier_schedule_dedup(
         "n_hosts": n_hosts,
         "schedule_sec": round(t_sched, 2),
         "dedup_merge_sec": round(t_dedup, 2),
+        "fold_sec": round(t_fold, 2),
+        "fold_amortized_sec": round(t_fold / fold_every, 2),
         "total_sec": round(total, 2),
         "urls_per_sec": round(processed / total),
     }

@@ -332,11 +332,16 @@ class CrawlEngine:
 
         runs_b = F.broadcast(self._runs_df())
         wave = start
+        self.wave_times: list[float] = []
+        import time as _time
+
         while wave < max_waves:
             if frontier.isEmpty():
                 break
             wave += 1
+            _t0 = _time.monotonic()
             frontier = self._step(wave, frontier, runs_b)
+            self.wave_times.append(_time.monotonic() - _t0)
             if self.durable is True and self.keep_snapshots:
                 self.store.expire_snapshots(self.keep_snapshots)
             if (self.durable == "eventlog" and self.compact_every

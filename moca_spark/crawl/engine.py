@@ -148,6 +148,7 @@ class CrawlEngine:
         compact_every: int = 0,
         links_canonical: bool = False,
         fold_every: int = 8,
+        bucket_state: int = 0,
     ):
         self.spark = spark
         self.images = images
@@ -200,12 +201,19 @@ class CrawlEngine:
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
             prefix="moca-chk-"
         )
+        # bucket_state=N: snapshot-mode state writes become N-bucket
+        # tables, so per-wave disk re-reads come back hash-partitioned
+        # + sorted by STATE_KEYS and the state-side joins stay
+        # exchange-free even in durable=True mode (and resume starts
+        # co-partitioned). See CheckpointStore docstring.
         if durable == "eventlog":
             from moca_spark.store.lakehouse import EventLogStore
 
-            self.store: CheckpointStore = EventLogStore(spark, self.checkpoint_dir)
+            self.store: CheckpointStore = EventLogStore(
+                spark, self.checkpoint_dir, bucket_state=bucket_state)
         else:
-            self.store = CheckpointStore(spark, self.checkpoint_dir)
+            self.store = CheckpointStore(
+                spark, self.checkpoint_dir, bucket_state=bucket_state)
         # Canonicalize the graph once: both endpoints normalized, invalid
         # dropped (R9 scheme whitelist happens inside canonicalize).
         # The graph is re-joined every wave. Two input shapes:

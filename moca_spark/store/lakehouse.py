@@ -30,16 +30,74 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+# State tables are keyed/bucketed by these (see engine.STATE_KEYS):
+# hash first, string key kept for exactness.
+_BUCKET_COLS = ("_key", "run_id", "url")
+
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, bucket_state: int = 0):
+        """``bucket_state=N`` writes the frontier/seen snapshots as
+        N-bucket tables (bucketBy+sortBy on the state keys, one file
+        per bucket) instead of plain parquet. Re-reads then come back
+        hash-partitioned AND sorted, so snapshot mode's per-wave state
+        joins run exchange-free on the state side exactly like the
+        in-memory modes — and a RESUMED run starts co-partitioned
+        instead of paying a one-time full-state shuffle. This is the
+        plain-parquet stand-in for an Iceberg table with a bucket
+        partition transform (README divergence #6)."""
         self.spark = spark
         self.root = root
+        self.bucket_state = bucket_state
         os.makedirs(root, exist_ok=True)
+
+    def _table_name(self, wave: int, name: str) -> str:
+        slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.root).strip("_").lower()
+        return f"moca_chk_{slug}_w{wave}_{name}"
+
+    def _write_state(self, wave: int, name: str, df: DataFrame) -> None:
+        d = os.path.join(self._wave_dir(wave), name)
+        if not self.bucket_state:
+            df.write.mode("overwrite").parquet(d)
+            return
+        n = self.bucket_state
+        tbl = self._table_name(wave, name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # repartition by the same keys Spark's bucketing hashes -> one
+        # file per bucket, which keeps the sortBy order usable by SMJ
+        (
+            df.repartition(n, *_BUCKET_COLS)
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(n, *_BUCKET_COLS).sortBy(*_BUCKET_COLS)
+            .option("path", d)
+            .saveAsTable(tbl)
+        )
+
+    def _read_state(self, wave: int, name: str) -> DataFrame:
+        d = os.path.join(self._wave_dir(wave), name)
+        if not self.bucket_state:
+            return self.spark.read.parquet(d)
+        tbl = self._table_name(wave, name)
+        if not self.spark.catalog.tableExists(tbl):
+            # fresh session (resume): re-register the bucketed table
+            # over the existing files — the in-memory catalog does not
+            # survive restarts, the bucketed layout on disk does
+            schema = self.spark.read.parquet(d).schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({', '.join(_BUCKET_COLS)}) "
+                f"SORTED BY ({', '.join(_BUCKET_COLS)}) "
+                f"INTO {self.bucket_state} BUCKETS LOCATION '{d}'"
+            )
+        return self.spark.table(tbl)
 
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.root, f"wave={wave}")
@@ -75,8 +133,8 @@ class CheckpointStore:
         simply overwritten subdir-by-subdir (every wave writes the same
         four subdirs, and readers ignore marker-less waves)."""
         d = self._wave_dir(wave)
-        frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-        seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        self._write_state(wave, "frontier", frontier)
+        self._write_state(wave, "seen", seen)
         if results is not None:
             results.write.mode("overwrite").parquet(os.path.join(d, "results"))
         if metrics is not None:
@@ -86,8 +144,8 @@ class CheckpointStore:
             json.dump({"wave": wave, **(extra or {})}, f)
         os.rename(tmp, os.path.join(d, "_COMMIT"))  # atomic publish
         return (
-            self.spark.read.parquet(os.path.join(d, "frontier")),
-            self.spark.read.parquet(os.path.join(d, "seen")),
+            self._read_state(wave, "frontier"),
+            self._read_state(wave, "seen"),
         )
 
     def write_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
@@ -98,10 +156,9 @@ class CheckpointStore:
         return self.spark.read.parquet(d)
 
     def load_wave(self, wave: int) -> tuple[DataFrame, DataFrame]:
-        d = self._wave_dir(wave)
         return (
-            self.spark.read.parquet(os.path.join(d, "frontier")),
-            self.spark.read.parquet(os.path.join(d, "seen")),
+            self._read_state(wave, "frontier"),
+            self._read_state(wave, "seen"),
         )
 
     def all_results(self) -> DataFrame | None:
@@ -129,6 +186,10 @@ class CheckpointStore:
                 p = os.path.join(self._wave_dir(w), sub)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
+                if self.bucket_state:
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self._table_name(w, sub)}"
+                    )
 
 
 class EventLogStore(CheckpointStore):

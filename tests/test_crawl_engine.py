@@ -384,6 +384,49 @@ def test_resume_ignores_uncommitted_wave(spark, tmp_path):
     assert_match(resumed, want)
 
 
+def test_bucketed_state_parity_and_resume(spark, tmp_path):
+    """bucket_state=N: snapshot-mode state is written as bucketed
+    tables. Results identical to the oracle, resume works across
+    engine instances AND a fresh catalog (tables re-registered from
+    disk), and the re-read state scan is hash-partitioned — a state
+    join plans with no Exchange on the state side."""
+    edges = chain_graph(n=6)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    eng1, urls = make_engine(spark, tmp_path / "bk", works, edges, budget=1,
+                             durable=True, bucket_state=4)
+    partial = eng1.run(max_waves=2)
+    assert partial.waves == 2
+
+    # drop the catalog entries to simulate a fresh session: _read_state
+    # must re-register the bucketed tables from the files
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("moca_chk_"):
+            spark.sql(f"DROP TABLE {t.name}")
+
+    eng2, _ = make_engine(spark, tmp_path / "bk", works, edges, budget=1,
+                          durable=True, bucket_state=4)
+    resumed = eng2.run(resume=True)
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(resumed, want)
+
+    # plan shape: bucketed scan joins on STATE_KEYS with zero Exchange
+    # on the state side (only the probe side shuffles)
+    from moca_spark.crawl.engine import STATE_KEYS
+
+    frontier, seen = eng2.store.load_wave(eng2.store.latest_wave())
+    probe = seen.limit(1).localCheckpoint(eager=True)
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan = (
+        seen.join(probe.select(*STATE_KEYS), STATE_KEYS, "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_partition_selector_by_domain(spark, tmp_path):
     """U3 (partition/PartitionSelector.scala): a by-domain selector makes
     two hosts of one domain share a single politeness budget."""

@@ -479,6 +479,19 @@ def _q25_lsh_topk(spark, sf_dir):
     return lsh_topk(q, emb, dim=64, k=5, bits=16, bands=8)
 
 
+def _q31_ivf_topk(spark, sf_dir):
+    """IVF-flavored ANN (deterministic seeded centroids, argmax-dot
+    cells, top-4 probes). Oracle: centroids emitted as DOUBLE[]
+    literals, same cell-assignment/probe/cosine pipeline in DuckDB."""
+    from moca_spark.pipeline.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(q, emb, dim=64, k=5, n_cells=16, n_probe=4)
+
+
 def _q27_tpch_q5ish(spark, sf_dir):
     """Multi-dim join (TPC-H Q5 shape): revenue by nation, customer and
     supplier in the same nation — exercises broadcast of the full dim
@@ -593,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_cosine_block_dedup": _q28_cosine_block_dedup,
         "q29_sessionize_batch": _q29_sessionize_batch,
         "q30_connected_components": _q30_connected_components,
+        "q31_ivf_topk": _q31_ivf_topk,
     }
 
 
@@ -916,6 +930,44 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
         for i, p in enumerate(planes)
     )
+    from moca_spark.pipeline.ann import _ivf_centroids
+
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_ivf_centroids(dim=64, n_cells=16, seed=29))
+    )
+    sql["q31_ivf_topk"] = f"""
+        WITH cents(cell, cv) AS (VALUES {cent_values}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        scores AS (
+          SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS s
+          FROM emb e CROSS JOIN cents c),
+        corpus_cell AS (
+          SELECT vec_id, cell
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cell DESC) rn
+                FROM scores)
+          WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cell
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cell DESC) rn
+                FROM scores WHERE vec_id < 3)
+          WHERE rn <= 4),
+        cand AS (SELECT DISTINCT q_id, cc.vec_id
+                 FROM probes JOIN corpus_cell cc USING (cell)),
+        scored AS (
+          SELECT q_id, cand.vec_id,
+                 round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine
+          FROM cand JOIN emb qe ON qe.vec_id = q_id
+                    JOIN emb ce ON ce.vec_id = cand.vec_id)
+        SELECT q_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
     sql["q25_lsh_topk"] = f"""
         WITH planes(p, pv) AS (VALUES {plane_values}),
         emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

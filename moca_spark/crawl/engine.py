@@ -167,8 +167,14 @@ class CrawlEngine:
         self.use_token_bucket = use_token_bucket
         # use_bloom: False | True (broadcast monolith) | "sharded"
         # (per-hash-range bitmap table — the 10^10 layout where one
-        # broadcast bloom would be ~18 GB; filters/sharded_bloom.py)
-        self.bloom_mode = "sharded" if use_bloom == "sharded" else bool(use_bloom)
+        # broadcast bloom would be ~18 GB; filters/sharded_bloom.py) |
+        # "cuckoo" (deletable fallback, filters/cuckoo.py: fingerprints
+        # of re-admitted URLs are EVICTED so the approximate hit set
+        # stays tight under re-crawls; driver-side inserts bound it to
+        # moderate scale — the sharded bloom is the 10^10 path)
+        self.bloom_mode = (
+            use_bloom if use_bloom in ("sharded", "cuckoo") else bool(use_bloom)
+        )
         self.n_bloom_shards = 64
         self._bloom_shards = None  # DataFrame(shard, bits) when sharded
         # input_hint per-row invariant enforced DURING the crawl:
@@ -191,10 +197,15 @@ class CrawlEngine:
         # filters keep using the real URL host/domain.
         self.partition_selector = partition_selector or url_host
         self._bloom: BloomFilter | None = (
-            BloomFilter(bloom_capacity)
-            if (use_bloom and use_bloom != "sharded")
-            else None
+            BloomFilter(bloom_capacity) if self.bloom_mode is True else None
         )
+        if self.bloom_mode == "cuckoo":
+            from moca_spark.filters.cuckoo import CuckooFilter
+
+            self._cuckoo = CuckooFilter(bloom_capacity)
+        else:
+            self._cuckoo = None
+        self._cuckoo_saturated = False  # full filter -> exact path only
         self._bloom_bc = None  # previous wave's monolith-bloom broadcast
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
@@ -317,6 +328,15 @@ class CrawlEngine:
                     seen.withColumn("k", self._seen_key()), "k",
                     self.bloom_capacity,
                 )
+            if self._cuckoo is not None:  # T5 for the deletable filter
+                from moca_spark.filters.cuckoo import CuckooFilter
+
+                self._cuckoo = CuckooFilter(self.bloom_capacity)
+                for row in seen.withColumn("_k", self._seen_key()) \
+                        .select("_k").toLocalIterator():
+                    if not self._cuckoo.add(row._k):
+                        self._cuckoo_saturated = True
+                        break
         else:
             start = 0
             frontier, seen = self._initial_state()
@@ -412,7 +432,7 @@ class CrawlEngine:
         self._seen_base, self._seen_deltas = folded, []
         return folded
 
-    def _admit_unseen(self, df: DataFrame) -> DataFrame:
+    def _admit_unseen(self, df: DataFrame, keep_flag: bool = False) -> DataFrame:
         """The J1/T8 admission rule over the base+delta seen state:
         keep rows never seen, or seen only at a strictly larger depth
         (re-crawl). One left join against the (big) base — which is
@@ -435,8 +455,10 @@ class CrawlEngine:
         else:
             out = out.withColumn("_bd_delta", F.lit(None).cast("int"))
         bd = F.least("_bd_base", "_bd_delta")
-        return out.filter(bd.isNull() | (F.col("depth") < bd)) \
-            .drop("_bd_base", "_bd_delta")
+        out = out.filter(bd.isNull() | (F.col("depth") < bd))
+        if keep_flag:  # re-crawl marker (cuckoo eviction needs it)
+            out = out.withColumn("_was_seen", bd.isNotNull())
+        return out.drop("_bd_base", "_bd_delta")
 
     def _checkpoint_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
         """Materialize a per-wave append table once; downstream reads
@@ -516,6 +538,18 @@ class CrawlEngine:
                 delta if self._bloom_shards is None
                 else merge_sharded_blooms(self._bloom_shards, delta)
             ).localCheckpoint(eager=True)
+        elif self._cuckoo is not None and not self._cuckoo_saturated:
+            # cuckoo inserts are sequential (partial-key kicks), so the
+            # wave's keys come to the driver — bounded by budget×hosts
+            # per wave; this mode is the deletable moderate-scale
+            # fallback, the sharded bloom is the 10^10 layout
+            for row in sliced.select("_key").toLocalIterator():
+                if not self._cuckoo.add(row._key):
+                    # filter full: stop prefiltering (every candidate
+                    # takes the exact path — PASS-only discipline keeps
+                    # correctness, only join work grows)
+                    self._cuckoo_saturated = True
+                    break
 
         # 2. FETCH — equi-join against the image+caption corpus
         fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
@@ -688,6 +722,36 @@ class CrawlEngine:
                 tagged.filter(F.col("_maybe_seen"))
             ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
+        elif self._cuckoo is not None and not self._cuckoo_saturated:
+            # deletable-filter variant of the monolith-bloom path
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist()
+            ck_bytes = self._bloom_bc = \
+                self.spark.sparkContext.broadcast(self._cuckoo.to_bytes())
+            from moca_spark.filters.cuckoo import CuckooFilter as _CF
+
+            @pandas_udf(BooleanType())
+            def maybe_seen_ck(keys: pd.Series) -> pd.Series:
+                cf = _CF.from_bytes(ck_bytes.value)
+                return pd.Series(cf.contains_many(keys.to_numpy()))
+
+            tagged = cand2.withColumn("_maybe", maybe_seen_ck(F.col("_key")))
+            definitely_new = tagged.filter(~F.col("_maybe")).select(*fresh_cols)
+            checked_full = self._materialize(self._admit_unseen(
+                tagged.filter(F.col("_maybe")), keep_flag=True
+            ))  # small: filter-hit admissions; AQE-off keeps the base
+            # side of the admit join exchange-free
+            fresh = definitely_new.unionByName(
+                checked_full.select(*fresh_cols))
+            # T8 + deletability: evict fingerprints of re-admitted URLs
+            # so the hit set stays tight under re-crawls. PASS-only
+            # discipline holds: a deleted entry re-routes future
+            # candidates into the frontier min-merge (harmless dup),
+            # never drops one — and the URL is re-inserted when its
+            # re-crawl is sliced.
+            for row in checked_full.filter(F.col("_was_seen")) \
+                    .select("_key").toLocalIterator():
+                self._cuckoo.delete(row._key)
         else:
             fresh = self._admit_unseen(cand2).select(*fresh_cols)
         # AQE-off materialization: the admit joins against the seen

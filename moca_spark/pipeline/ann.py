@@ -121,6 +121,15 @@ def lsh_topk(
     )
 
 
+def _ivf_centroids(dim: int, n_cells: int, seed: int = 29) -> list[list[float]]:
+    """Deterministic unit centroid directions, rounded to 6 dp — also
+    emitted as SQL literals by the q31 DuckDB oracle twin."""
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents.round(6).tolist()
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     n_cells: int = 16, n_probe: int = 4,
@@ -130,10 +139,7 @@ def ivf_topk(
     """IVF-flavored ANN: deterministic random centroid directions;
     corpus rows live in their argmax-dot cell; queries probe their
     ``n_probe`` best cells. One shuffle on cell id."""
-    rng = np.random.RandomState(seed)
-    cents = rng.normal(size=(n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    cents = cents.round(6).tolist()
+    cents = _ivf_centroids(dim, n_cells, seed)
 
     def cell_scores(v):
         return F.array(*[

@@ -319,6 +319,46 @@ def test_bloom_prefilter_parity(spark, tmp_path):
     assert_match(got, want)
 
 
+def test_cuckoo_prefilter_parity(spark, tmp_path):
+    """use_bloom='cuckoo' (the deletable fallback the north rule names)
+    must not change ANY result — same PASS-only discipline as bloom."""
+    edges = zipf_graph(n_hosts=5, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=2,
+                         use_bloom="cuckoo", bloom_capacity=10_000)
+    assert_match(got, want)
+
+
+def test_cuckoo_recrawl_deletes_and_parity(spark, tmp_path):
+    """The re-crawl fixture under the cuckoo prefilter: the re-admitted
+    URL's fingerprint is evicted (deletable semantics) and the crawl
+    still matches the oracle row-for-row."""
+    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
+    edges = (
+        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
+        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
+           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
+           (f"{A}/d", f"{A}/e")]
+    )
+    works = [W("w1", f"{B}/s", max_depth=3)]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1,
+                         use_bloom="cuckoo", bloom_capacity=10_000)
+    assert_match(got, want)
+    d_fetches = [r for r in want.crawl_order if r["url"] == f"{A}/d"]
+    assert [r["depth"] for r in d_fetches] == [3, 2]  # re-crawl survived
+
+
+def test_cuckoo_saturation_falls_back_to_exact(spark, tmp_path):
+    """A full cuckoo filter must disable prefiltering (every candidate
+    takes the exact join), never drop candidates."""
+    edges = zipf_graph(n_hosts=4, pages_per_host=6)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    # capacity 2 saturates immediately on any real slice
+    got, want = run_both(spark, tmp_path, works, edges, budget=2,
+                         use_bloom="cuckoo", bloom_capacity=2)
+    assert_match(got, want)
+
+
 def test_token_bucket_politeness(spark, tmp_path):
     """mapInPandas token bucket: per host, fetch times are spaced by
     exactly the politeness interval in rank order (WorkerTest.scala:70-71:

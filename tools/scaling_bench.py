@@ -5,7 +5,8 @@ in fresh JVMs, and report throughput at both plus scaling efficiency
 
     eff = (thr_4N / thr_N) / 4        (>= 0.8 required)
 
-Writes BENCH.md. Usage: python tools/scaling_bench.py [n_frontier]
+Writes BENCH_RUN.md (raw last-run artifact; BENCH.md is the curated
+analysis that pools sessions). Usage: python tools/scaling_bench.py [n_frontier]
 """
 
 from __future__ import annotations
@@ -133,7 +134,7 @@ Notes
   (operators/wave.py), so the Zipf head host does not serialize the
   schedule stage.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_RUN.md"), "w") as f:
         f.write(md)
     print(json.dumps({"thr_local8": thr8, "thr_local32": thr32,
                       "efficiency": round(eff, 3), "n": n}))

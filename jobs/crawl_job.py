@@ -32,6 +32,21 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eventlog", action="store_true",
                     help="append-only journal layout (O(delta) writes)")
+    ap.add_argument("--bloom", choices=["off", "broadcast", "sharded", "cuckoo"],
+                    default="off",
+                    help="approximate seen-set prefilter: broadcast bloom, "
+                         "sharded bitmap table (10^10 layout), or the "
+                         "deletable cuckoo fallback")
+    ap.add_argument("--bloom-capacity", type=int, default=1_000_000)
+    ap.add_argument("--bucket-state", type=int, default=0,
+                    help="write snapshot state as N-bucket tables "
+                         "(hash-partitioned+sorted re-reads/resume)")
+    ap.add_argument("--fold-every", type=int, default=8,
+                    help="seen-LSM fold cadence in waves")
+    ap.add_argument("--links-canonical", action="store_true",
+                    help="links table is pre-canonicalized (typically "
+                         "src_host-partitioned parquet: per-wave host "
+                         "partition pruning, no full-graph cache)")
     ap.add_argument("--demo", action="store_true",
                     help="synthesize a Zipf world instead of --links/--images")
     args = ap.parse_args()
@@ -74,10 +89,15 @@ def main() -> None:
         works = seeds_to_works(seeds, named)
 
     robots = spark.read.parquet(args.robots) if args.robots else None
+    use_bloom = {"off": False, "broadcast": True,
+                 "sharded": "sharded", "cuckoo": "cuckoo"}[args.bloom]
     eng = CrawlEngine(
         spark, links, images, robots,
         budget=args.budget, checkpoint_dir=args.checkpoint,
         durable="eventlog" if args.eventlog else True,
+        use_bloom=use_bloom, bloom_capacity=args.bloom_capacity,
+        bucket_state=args.bucket_state, fold_every=args.fold_every,
+        links_canonical=args.links_canonical,
     )
     eng.add_works(works)
     res = eng.run(max_waves=args.max_waves, resume=args.resume)

@@ -940,7 +940,7 @@ def oracle_sql() -> dict[str, str]:
         WITH cents(cell, cv) AS (VALUES {cent_values}),
         emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         scores AS (
-          SELECT e.vec_id, c.cell, list_dot_product(e.v, c.cv) AS s
+          SELECT e.vec_id, c.cell, round(list_dot_product(e.v, c.cv), 9) AS s
           FROM emb e CROSS JOIN cents c),
         corpus_cell AS (
           SELECT vec_id, cell
@@ -973,7 +973,7 @@ def oracle_sql() -> dict[str, str]:
         emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         sigs AS (
           SELECT vec_id,
-                 CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+                 CAST(sum(CASE WHEN round(list_dot_product(v, pv), 9) > 0
                           THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
           FROM emb CROSS JOIN planes GROUP BY vec_id),
         bandtab AS (SELECT unnest(generate_series(0, 7)) AS band),

@@ -68,7 +68,10 @@ def add_lsh_signature(
     planes = _hyperplanes(dim, bits, seed)
     sig = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        d = _dot(F.col(vec), F.array(*[F.lit(x) for x in p]))
+        # round before the sign test: the DuckDB oracle twin sums the
+        # same products in a different order, and an unrounded near-tie
+        # dot could flip a signature bit between engines
+        d = F.round(_dot(F.col(vec), F.array(*[F.lit(x) for x in p])), 9)
         sig = sig + F.when(d > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
     return df.withColumn("lsh_sig", sig)
 
@@ -86,6 +89,9 @@ def lsh_topk(
     mask = (1 << band_bits) - 1
 
     def with_bands(df, id_out, id_in):
+        # band rows carry IDS ONLY — the 64-double vectors must not
+        # ride the band join or the candidate-dedup shuffle (they are
+        # re-acquired per id after the distinct; ~50x fewer bytes)
         sig = add_lsh_signature(df, dim, bits, vec)
         bands_arr = F.array(*[
             F.struct(
@@ -96,22 +102,29 @@ def lsh_topk(
             for i in range(bands)
         ])
         return sig.select(
-            F.col(id_in).alias(id_out), F.col(vec).alias(f"{id_out}_v"),
-            F.explode(bands_arr).alias("b"),
-        ).select(id_out, f"{id_out}_v", F.col("b.band"), F.col("b.bkey"))
+            F.col(id_in).alias(id_out), F.explode(bands_arr).alias("b"),
+        ).select(id_out, F.col("b.band"), F.col("b.bkey"))
 
     qb = with_bands(queries, "qq", q_id)
     cb = with_bands(corpus, "cc", c_id)
     cand = (
         qb.join(cb, ["band", "bkey"])
-        .select(F.col("qq").alias(q_id), F.col("cc").alias(c_id),
-                F.col("qq_v").alias("qv"), F.col("cc_v").alias("cv"))
+        .select(F.col("qq").alias(q_id), F.col("cc").alias(c_id))
         .distinct()
     )
-    scored = cand.withColumn(
+    # re-join the vectors: queries broadcast (small side), corpus joined
+    # once on c_id — each vector crosses the wire once per candidate
+    # row, never through the dedup exchange
+    qv = F.broadcast(
+        queries.select(F.col(q_id), F.col(vec).alias("qv"))
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    cv = corpus.select(F.col(c_id), F.col(vec).alias("cv")) \
+        .withColumn("cn", _norm(F.col("cv")))
+    scored = cand.join(qv, q_id).join(cv, c_id).withColumn(
         "cosine",
         F.round(_dot(F.col("qv"), F.col("cv")) /
-                (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+                (F.col("qn") * F.col("cn")), 6),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (
@@ -142,9 +155,12 @@ def ivf_topk(
     cents = _ivf_centroids(dim, n_cells, seed)
 
     def cell_scores(v):
+        # dots rounded to 9 dp before the argmax/probe ranking so the
+        # DuckDB oracle twin (different summation order) cannot flip a
+        # near-tie cell assignment
         return F.array(*[
             F.struct(
-                _dot(v, F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.round(_dot(v, F.array(*[F.lit(x) for x in c])), 9).alias("s"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(cents)

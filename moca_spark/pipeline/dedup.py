@@ -199,17 +199,26 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """Charikar simhash over word tokens: per bit position, sum +1/-1 of
-    token-hash bits; sign → bit. Explode shape: tokens × bit positions,
-    all JVM-side arithmetic."""
+    token-hash bits; sign → bit. Tokens are pre-aggregated to
+    (doc, token-hash, count) BEFORE the ×bits explode — identical result
+    by linearity of the per-bit sum, but the 64× blowup runs over
+    distinct tokens instead of every occurrence. All JVM arithmetic."""
     spark = df.sparkSession
     bit_pos = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
-    tokens = df.select(
-        id_col,
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("th", portable_hash60(F.col("tok")))
+    tokens = (
+        df.select(
+            id_col,
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .withColumn("th", portable_hash60(F.col("tok")))
+        .groupBy(id_col, "th")
+        .agg(F.count("*").alias("cnt"))
+    )
     contrib = (
         tokens.crossJoin(F.broadcast(bit_pos))
-        .withColumn("delta", (F.expr("shiftright(th, bit)") % 2) * 2 - 1)
+        .withColumn(
+            "delta", ((F.expr("shiftright(th, bit)") % 2) * 2 - 1) * F.col("cnt")
+        )
         .groupBy(id_col, "bit")
         .agg(F.sum("delta").alias("s"))
     )

@@ -149,6 +149,8 @@ class CrawlEngine:
         links_canonical: bool = False,
         fold_every: int = 8,
         bucket_state: int = 0,
+        fetch_prune: int = 10_000,
+        corpus_buckets: int = 0,
     ):
         self.spark = spark
         self.images = images
@@ -165,6 +167,24 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_capacity = bloom_capacity
         self.use_token_bucket = use_token_bucket
+        # fetch_prune=N: push the wave's slice image-ids (bounded by
+        # budget x active hosts) as a literal In filter into the corpus
+        # scan, so the per-wave fetch join reads O(slice) instead of
+        # scanning the whole corpus table every wave — THE 100 TB fetch
+        # story. On a bucketed+sorted corpus (store/lakehouse.py
+        # write_corpus_bucketed) the filter also prunes buckets
+        # (SelectedBucketsCount) and row groups (min/max stats on the
+        # sorted image_id). 0 disables; slices above N fall back to the
+        # full join (AQE still broadcasts the slice side).
+        self.fetch_prune_threshold = fetch_prune
+        # corpus_buckets=B: the images table was written by
+        # write_corpus_bucketed(n_buckets=B). Slice ids are then
+        # grouped by their bucket (pmod(hash(id), B) — F.hash IS
+        # Spark's bucketing hash, Murmur3 seed 42) before chunking, so
+        # each pushed-In branch prunes to the few bucket files its ids
+        # actually live in instead of every branch touching every
+        # bucket (task count drops from branches x buckets to ~buckets)
+        self.corpus_buckets = corpus_buckets
         # use_bloom: False | True (broadcast monolith) | "sharded"
         # (per-hash-range bitmap table — the 10^10 layout where one
         # broadcast bloom would be ~18 GB; filters/sharded_bloom.py) |
@@ -504,6 +524,82 @@ class CrawlEngine:
         """64-bit bloom key over (run, url) — xxhash64, JVM-side."""
         return F.xxhash64(F.concat_ws("\x00", F.col(run_col), F.col(url_col)))
 
+    # parquet evaluates a pushed In as a values-deep Or recursion and
+    # stack-overflows near ~2000 values; Spark's
+    # parquet.pushdown.inFilterThreshold (session.py: 256) degrades
+    # larger Ins to a min/max range, which skips nothing over uniform
+    # sha1 ids. Chunking the SORTED id list keeps every chunk under the
+    # threshold, so each branch scan gets an exact pushed In.
+    FETCH_PRUNE_CHUNK = 200
+
+    def _pruned_images(self, sliced: DataFrame) -> DataFrame:
+        """The corpus side of the fetch join, pruned to this wave's
+        slice — per-wave fetch reads O(slice), independent of corpus
+        size (the round-2 scale-killer: the old shape scanned the whole
+        corpus table every wave).
+
+        The slice is bounded (budget × active hosts), so its image-ids
+        are collected, sorted, and pushed into the corpus scan as
+        literal In filters, chunked to <= FETCH_PRUNE_CHUNK ids per
+        scan branch so parquet applies them exactly. What each pushed
+        branch skips, by corpus layout (write_corpus_bucketed):
+
+        - bucket pruning: a branch reads only the bucket FILES its ids
+          hash to (chunks are bucket-aligned when corpus_buckets is
+          set, so branches cover disjoint bucket ranges);
+        - row-group skipping: sorted image_id gives tight min/max
+          stats; row-group bloom filters skip on exact membership.
+          Skipping bites when ids-per-bucket < row-groups-per-bucket —
+          rows read are O(min(corpus, slice × rowgroup_rows)), vs the
+          round-2 shape's O(corpus) always.
+
+        Policy: a single pushed branch for slices <= FETCH_PRUNE_CHUNK
+        (helps on prunable layouts, harmless otherwise — still one
+        scan); multi-branch chunking ONLY on a bucketed corpus (on an
+        unprunable layout every branch would rescan the whole table —
+        measured 10x worse, tools/fetch_bench.py); full join above
+        fetch_prune_threshold — collecting an unbounded id list would
+        trade a scan problem for a driver problem; at that regime the
+        corpus belongs in a point-lookup store (Iceberg + file blooms /
+        KV; README divergence #6). tools/plan_audit.py asserts the
+        plan shapes; tools/fetch_bench.py measures rows-read flatness
+        under 8x corpus growth."""
+        if not self.fetch_prune_threshold:
+            return self.images
+        id_col = F.sha1(F.encode("url", "UTF-8")).alias("image_id")
+        if self.corpus_buckets:
+            # bucket-aligned chunk order: consecutive chunks cover
+            # consecutive buckets, so each branch's bucket pruning
+            # selects only the ~chunk/ids-per-bucket files it needs
+            rows = sliced.select(id_col).select(
+                "image_id",
+                F.pmod(F.hash("image_id"), F.lit(self.corpus_buckets))
+                .alias("_b"),
+            ).limit(self.fetch_prune_threshold + 1).collect()
+            ids = [i for _, i in sorted({(r._b, r.image_id) for r in rows})]
+        else:
+            ids = sorted({
+                r.image_id
+                for r in sliced.select(id_col)
+                .limit(self.fetch_prune_threshold + 1).collect()
+            })
+        if not ids or len(ids) > self.fetch_prune_threshold:
+            return self.images
+        chunk = self.FETCH_PRUNE_CHUNK
+        if len(ids) > chunk and not self.corpus_buckets:
+            # multi-branch chunking multiplies SCANS; without bucket
+            # pruning to pay for them (each branch would rescan the
+            # whole table) the full join is strictly cheaper
+            return self.images
+        branches = [
+            self.images.filter(F.col("image_id").isin(ids[i:i + chunk]))
+            for i in range(0, len(ids), chunk)
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
     def _step(
         self, wave: int, frontier: DataFrame, runs_b: DataFrame
     ) -> DataFrame:
@@ -551,9 +647,10 @@ class CrawlEngine:
                     self._cuckoo_saturated = True
                     break
 
-        # 2. FETCH — equi-join against the image+caption corpus
+        # 2. FETCH — equi-join against the image+caption corpus, pruned
+        #    to the slice's ids (O(slice) corpus reads; _pruned_images)
         fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
-            .join(self.images, "image_id", "left")
+            .join(self._pruned_images(sliced), "image_id", "left")
         if self.use_token_bucket:
             fetched = fetch_with_token_bucket(
                 fetched, POLITENESS_INTERVAL_S, wave, self.budget

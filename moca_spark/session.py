@@ -65,6 +65,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fetch-prune point lookups (engine._pruned_images) push the
+        # slice image-ids as a parquet In filter for row-group
+        # skipping; past this threshold Spark degrades In to a min/max
+        # range (useless over uniform sha1 ids) — but parquet evaluates
+        # In as a values-deep Or recursion, which stack-overflows near
+        # ~2000 values (measured), so 256 with margin. Larger slices
+        # still prune FILES via Catalyst-level bucket pruning on the
+        # bucketed corpus (write_corpus_bucketed), which has no such
+        # limit — that is the at-scale layout.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
+        # keep bucketed scans ON even when a query has no
+        # shuffle-avoidance benefit: the corpus fetch join relies on
+        # bucket PRUNING (SelectedBucketsCount) of the slice-id filter,
+        # which the DisableUnnecessaryBucketedScan rule would otherwise
+        # hide; all bucketed tables here (state, corpus) choose bucket
+        # counts >= cluster parallelism, so the scan-parallelism cap is
+        # moot
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("MOCA_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -192,6 +192,69 @@ class CheckpointStore:
                     )
 
 
+def _corpus_table_name(path: str) -> str:
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", path).strip("_").lower()
+    return f"moca_corpus_{slug}"
+
+
+def write_corpus_bucketed(
+    spark: SparkSession, images: DataFrame, path: str, n_buckets: int = 64,
+    row_group_bytes: int = 8 * 1024 * 1024,
+) -> DataFrame:
+    """Write the fetch corpus as a bucketed table on ``image_id``,
+    sorted by ``image_id`` within buckets, with parquet row-group bloom
+    filters on image_id — the layout that makes the engine's per-wave
+    fetch join read O(slice) (engine._pruned_images pushes the slice
+    ids; tools/fetch_bench.py measures the flatness):
+
+    - bucket pruning: the slice-derived In filters select only the
+      bucket files the wave's ids hash to (``SelectedBucketsCount``);
+    - row-group skipping: sorted image_id gives tight min/max stats
+      per row group, so each pushed-In chunk touches ~chunk-many row
+      groups; the bloom filters skip on exact membership even where
+      stats are loose. Row groups are capped at ``row_group_bytes``
+      (point lookups want granular skipping, not 128 MB scan units).
+
+    One file per bucket (repartition matches the bucket hash). On a
+    real deployment this is an Iceberg table with a ``bucket(N,
+    image_id)`` partition transform + sorted data files (README
+    divergence #6). Returns the re-read table."""
+    tbl = _corpus_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        images.repartition(n_buckets, "image_id")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "image_id").sortBy("image_id")
+        .option("parquet.bloom.filter.enabled#image_id", "true")
+        .option("parquet.block.size", str(row_group_bytes))
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+    with open(os.path.join(path, "_corpus_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+    return spark.table(tbl)
+
+
+def read_corpus_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Re-register a bucketed corpus written by ``write_corpus_bucketed``
+    in a fresh session (the in-memory catalog does not survive
+    restarts; the bucketed layout on disk does)."""
+    tbl = _corpus_table_name(path)
+    if not spark.catalog.tableExists(tbl):
+        with open(os.path.join(path, "_corpus_meta.json")) as f:
+            n_buckets = json.load(f)["n_buckets"]
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (image_id) SORTED BY (image_id) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(tbl)
+
+
 class EventLogStore(CheckpointStore):
     """Append-only event-log layout — the write path that survives a
     10^10-row frontier.

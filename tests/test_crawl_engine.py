@@ -687,3 +687,52 @@ def test_same_host_criteria_with_domain_selector(spark, tmp_path):
     assert {r["url"] for r in want.crawl_order} == {
         "http://a.dom.test/x", "http://a.dom.test/y"
     }
+
+
+def test_fetch_prune_parity_all_paths(spark, tmp_path):
+    """Fetch-corpus pruning (engine._pruned_images) must be invisible to
+    semantics on every policy branch: default single-branch pruning
+    (every test above), pruning disabled, threshold-exceeded fallback,
+    and the bucketed multi-branch path."""
+    edges = zipf_graph(n_hosts=4, pages_per_host=8)
+    works = [W("w1", "http://host0.test/p0", max_depth=4)]
+    # pruning disabled
+    got, want = run_both(spark, tmp_path, works, edges, budget=3,
+                         fetch_prune=0)
+    assert_match(got, want)
+    # threshold smaller than any slice -> full-join fallback
+    got, want = run_both(spark, tmp_path, works, edges, budget=3,
+                         fetch_prune=1)
+    assert_match(got, want)
+
+
+def test_fetch_prune_bucketed_corpus(spark, tmp_path):
+    """Crawl over a write_corpus_bucketed corpus with bucket-aligned
+    multi-branch pruning (FETCH_PRUNE_CHUNK forced tiny so a real
+    slice spans several chunks); parity with the oracle proves chunked
+    branch scans reconstruct exactly the slice's corpus rows."""
+    from moca_spark.store.lakehouse import (
+        read_corpus_bucketed,
+        write_corpus_bucketed,
+    )
+
+    edges = zipf_graph(n_hosts=4, pages_per_host=8)
+    works = [W("w1", "http://host0.test/p0", max_depth=4)]
+    urls = oracle_corpus_urls(edges, works)
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus_bucketed(
+        spark, images_for_urls(spark, sorted(urls)), corpus_dir, n_buckets=4)
+    # fresh-session re-registration path
+    spark.sql(f"DROP TABLE IF EXISTS "
+              f"{__import__('moca_spark.store.lakehouse', fromlist=['x'])._corpus_table_name(corpus_dir)}")
+    images = read_corpus_bucketed(spark, corpus_dir)
+    eng = CrawlEngine(
+        spark, links_df(spark, edges), images, budget=3,
+        checkpoint_dir=str(tmp_path / "chk"), n_salts=4, durable=False,
+        corpus_buckets=4,
+    )
+    eng.FETCH_PRUNE_CHUNK = 2  # force multi-branch on small slices
+    eng.add_works(works)
+    got = eng.run()
+    want = oracle_crawl(works, edges, budget=3, corpus_urls=urls)
+    assert_match(got, want)

@@ -110,6 +110,33 @@ def main() -> int:
     check("engine expand join: parents broadcast (AQE runtime)",
           "BroadcastHashJoin [src_url" in p)
 
+    # 6c. fetch-corpus pruning (engine._pruned_images): the per-wave
+    #     fetch join must read O(slice) of the corpus, not all of it —
+    #     plain parquet: the slice-id In filter is pushed to the scan;
+    #     bucketed corpus (write_corpus_bucketed): buckets are pruned.
+    import tempfile
+
+    from moca_spark.crawl.engine import CrawlEngine
+    from moca_spark.store.lakehouse import write_corpus_bucketed
+
+    links0 = spark.createDataFrame(
+        [("http://h.test/a", "http://h.test/b")], ["src_url", "dst_url"])
+    corp_dir = tempfile.mkdtemp(prefix="audit-corpus-")
+    _images.write.mode("overwrite").parquet(f"{corp_dir}/plain")
+    plain = spark.read.parquet(f"{corp_dir}/plain")
+    slice_fixture = seeds.limit(20).select("url")
+    eng_p = CrawlEngine(spark, links0, plain, durable=False)
+    p = plan_of(eng_p._pruned_images(slice_fixture))
+    check("fetch prune: In(image_id) pushed to plain corpus scan",
+          "PushedFilters: [In(image_id" in p)
+    bucketed = write_corpus_bucketed(spark, plain, f"{corp_dir}/bucketed",
+                                     n_buckets=16)
+    eng_b = CrawlEngine(spark, links0, bucketed, durable=False)
+    p = plan_of(eng_b._pruned_images(slice_fixture))
+    check("fetch prune: bucket pruning on bucketed corpus",
+          "SelectedBucketsCount" in p and "out of 16" in p,
+          detail="" if "SelectedBucketsCount" in p else "no bucket pruning in scan")
+
     # 7. AQE enabled in session
     check("conf: AQE enabled",
           spark.conf.get("spark.sql.adaptive.enabled") == "true")

@@ -188,10 +188,12 @@ class CrawlEngine:
         # use_bloom: False | True (broadcast monolith) | "sharded"
         # (per-hash-range bitmap table — the 10^10 layout where one
         # broadcast bloom would be ~18 GB; filters/sharded_bloom.py) |
-        # "cuckoo" (deletable fallback, filters/cuckoo.py: fingerprints
-        # of re-admitted URLs are EVICTED so the approximate hit set
-        # stays tight under re-crawls; driver-side inserts bound it to
-        # moderate scale — the sharded bloom is the 10^10 path)
+        # "cuckoo" (deletable variant, same sharded-table layout —
+        # filters/sharded_cuckoo.py: fingerprints of re-admitted URLs
+        # are EVICTED so the approximate hit set stays tight under
+        # re-crawls; inserts run per-shard on executors, a saturated
+        # shard degrades itself to the exact path while healthy shards
+        # keep prefiltering)
         self.bloom_mode = (
             use_bloom if use_bloom in ("sharded", "cuckoo") else bool(use_bloom)
         )
@@ -219,13 +221,8 @@ class CrawlEngine:
         self._bloom: BloomFilter | None = (
             BloomFilter(bloom_capacity) if self.bloom_mode is True else None
         )
-        if self.bloom_mode == "cuckoo":
-            from moca_spark.filters.cuckoo import CuckooFilter
-
-            self._cuckoo = CuckooFilter(bloom_capacity)
-        else:
-            self._cuckoo = None
-        self._cuckoo_saturated = False  # full filter -> exact path only
+        # cuckoo mode: DataFrame(shard, bits, ok) like the sharded bloom
+        self._cuckoo_shards: DataFrame | None = None
         self._bloom_bc = None  # previous wave's monolith-bloom broadcast
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
@@ -348,15 +345,18 @@ class CrawlEngine:
                     seen.withColumn("k", self._seen_key()), "k",
                     self.bloom_capacity,
                 )
-            if self._cuckoo is not None:  # T5 for the deletable filter
-                from moca_spark.filters.cuckoo import CuckooFilter
+            if self.bloom_mode == "cuckoo":  # T5 for the deletable
+                # filter: one distributed groupBy-build over the seen
+                # keys (the round-2 shape iterated the WHOLE seen set
+                # through the driver — hours after 10^8 fetches)
+                from moca_spark.filters.sharded_cuckoo import (
+                    build_sharded_cuckoo,
+                )
 
-                self._cuckoo = CuckooFilter(self.bloom_capacity)
-                for row in seen.withColumn("_k", self._seen_key()) \
-                        .select("_k").toLocalIterator():
-                    if not self._cuckoo.add(row._k):
-                        self._cuckoo_saturated = True
-                        break
+                self._cuckoo_shards = build_sharded_cuckoo(
+                    seen.select(self._seen_key().alias("k")), "k",
+                    self.n_bloom_shards, self.bloom_capacity,
+                ).localCheckpoint(eager=True)
         else:
             start = 0
             frontier, seen = self._initial_state()
@@ -634,18 +634,25 @@ class CrawlEngine:
                 delta if self._bloom_shards is None
                 else merge_sharded_blooms(self._bloom_shards, delta)
             ).localCheckpoint(eager=True)
-        elif self._cuckoo is not None and not self._cuckoo_saturated:
-            # cuckoo inserts are sequential (partial-key kicks), so the
-            # wave's keys come to the driver — bounded by budget×hosts
-            # per wave; this mode is the deletable moderate-scale
-            # fallback, the sharded bloom is the 10^10 layout
-            for row in sliced.select("_key").toLocalIterator():
-                if not self._cuckoo.add(row._key):
-                    # filter full: stop prefiltering (every candidate
-                    # takes the exact path — PASS-only discipline keeps
-                    # correctness, only join work grows)
-                    self._cuckoo_saturated = True
-                    break
+        elif self.bloom_mode == "cuckoo":
+            # per-shard executor-side inserts (cuckoo kicks are
+            # sequential WITHIN a shard, parallel across shards); a
+            # shard that fills flips ok=false and its probes degrade to
+            # the exact path — PASS-only discipline per shard
+            from moca_spark.filters.sharded_cuckoo import (
+                build_sharded_cuckoo,
+                update_sharded_cuckoo,
+            )
+
+            adds = sliced.select(F.col("_key").alias("k"))
+            self._cuckoo_shards = (
+                build_sharded_cuckoo(
+                    adds, "k", self.n_bloom_shards, self.bloom_capacity)
+                if self._cuckoo_shards is None
+                else update_sharded_cuckoo(
+                    self._cuckoo_shards, adds, "k",
+                    self.n_bloom_shards, self.bloom_capacity, kind="add")
+            ).localCheckpoint(eager=True)
 
         # 2. FETCH — equi-join against the image+caption corpus, pruned
         #    to the slice's ids (O(slice) corpus reads; _pruned_images)
@@ -819,23 +826,21 @@ class CrawlEngine:
                 tagged.filter(F.col("_maybe_seen"))
             ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
-        elif self._cuckoo is not None and not self._cuckoo_saturated:
-            # deletable-filter variant of the monolith-bloom path
-            if self._bloom_bc is not None:
-                self._bloom_bc.unpersist()
-            ck_bytes = self._bloom_bc = \
-                self.spark.sparkContext.broadcast(self._cuckoo.to_bytes())
-            from moca_spark.filters.cuckoo import CuckooFilter as _CF
+        elif self.bloom_mode == "cuckoo" and self._cuckoo_shards is not None:
+            # deletable-filter variant of the sharded-bloom path
+            from moca_spark.filters.sharded_cuckoo import (
+                probe_sharded_cuckoo,
+                update_sharded_cuckoo,
+            )
 
-            @pandas_udf(BooleanType())
-            def maybe_seen_ck(keys: pd.Series) -> pd.Series:
-                cf = _CF.from_bytes(ck_bytes.value)
-                return pd.Series(cf.contains_many(keys.to_numpy()))
-
-            tagged = cand2.withColumn("_maybe", maybe_seen_ck(F.col("_key")))
-            definitely_new = tagged.filter(~F.col("_maybe")).select(*fresh_cols)
+            tagged = probe_sharded_cuckoo(
+                cand2.withColumn("_k", F.col("_key")), "_k",
+                self._cuckoo_shards, self.n_bloom_shards,
+            ).drop("_k")
+            definitely_new = tagged.filter(~F.col("_maybe_seen")) \
+                .select(*fresh_cols)
             checked_full = self._materialize(self._admit_unseen(
-                tagged.filter(F.col("_maybe")), keep_flag=True
+                tagged.filter(F.col("_maybe_seen")), keep_flag=True
             ))  # small: filter-hit admissions; AQE-off keeps the base
             # side of the admit join exchange-free
             fresh = definitely_new.unionByName(
@@ -845,10 +850,15 @@ class CrawlEngine:
             # discipline holds: a deleted entry re-routes future
             # candidates into the frontier min-merge (harmless dup),
             # never drops one — and the URL is re-inserted when its
-            # re-crawl is sliced.
-            for row in checked_full.filter(F.col("_was_seen")) \
-                    .select("_key").toLocalIterator():
-                self._cuckoo.delete(row._key)
+            # re-crawl is sliced. Evictions apply as a per-shard delta
+            # on executors (no driver loop).
+            dels = checked_full.filter(F.col("_was_seen")) \
+                .select(F.col("_key").alias("k"))
+            if not dels.isEmpty():
+                self._cuckoo_shards = update_sharded_cuckoo(
+                    self._cuckoo_shards, dels, "k",
+                    self.n_bloom_shards, self.bloom_capacity, kind="del",
+                ).localCheckpoint(eager=True)
         else:
             fresh = self._admit_unseen(cand2).select(*fresh_cols)
         # AQE-off materialization: the admit joins against the seen

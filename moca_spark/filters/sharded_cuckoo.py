@@ -1,0 +1,147 @@
+"""Sharded cuckoo filter: the DELETABLE approximate seen-set as a
+distributed table — no driver-side insert loops.
+
+Round-2's cuckoo mode kept one driver-side CuckooFilter and funneled
+every wave's slice keys (and, on resume, the ENTIRE seen set) through
+``toLocalIterator`` — a real driver bottleneck past moderate scale.
+This module gives the cuckoo filter the same layout as
+filters/sharded_bloom.py: key space sharded by ``pmod(key, n_shards)``,
+one serialized CuckooFilter (filters/cuckoo.py) per shard stored as a
+DataFrame row ``(shard int, bits binary, ok boolean)``:
+
+- build:  groupBy(shard) -> applyInPandas constructs each shard's
+  filter from its keys only (distributed, used for resume rebuild);
+- update: the wave's add/delete keys are unioned with the current
+  shard rows and re-grouped; each shard applies its delta inside one
+  pandas call — inserts stay sequential (partial-key cuckoo kicks need
+  that) but PER SHARD on executors, never on the driver;
+- probe:  shard-key join brings each candidate batch together with its
+  one filter row; vectorized membership per Arrow batch.
+
+Per-shard saturation degrades gracefully: a shard whose filter
+overflows flips ``ok=false`` and its probes return maybe-seen for
+every candidate (the exact join decides) — PASS-only discipline holds
+per shard while healthy shards keep prefiltering. Insert order within
+a delta is sorted for determinism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from moca_spark.filters.cuckoo import CuckooFilter
+
+SHARD_SCHEMA = "shard int, bits binary, ok boolean"
+
+
+def shard_of(key_col: F.Column, n_shards: int) -> F.Column:
+    return F.pmod(key_col, F.lit(n_shards)).cast("int")
+
+
+def _apply_group(per_shard_capacity: int):
+    """applyInPandas fn over a union of one optional filter row
+    (kind='bits') and this delta's key rows (kind='add'/'del')."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        bits_rows = pdf[pdf["kind"] == "bits"]
+        if len(bits_rows):
+            cf = CuckooFilter.from_bytes(bytes(bits_rows["bits"].iloc[0]))
+            ok = bool(bits_rows["ok"].iloc[0])
+        else:
+            cf = CuckooFilter(per_shard_capacity)
+            ok = True
+        if ok:  # a degraded shard routes everything to the exact join;
+            # further maintenance is pointless
+            for k in sorted(pdf.loc[pdf["kind"] == "add", "k"]):
+                if not cf.add(int(k)):
+                    ok = False
+                    break
+            if ok:
+                for k in sorted(pdf.loc[pdf["kind"] == "del", "k"]):
+                    cf.delete(int(k))
+        return pd.DataFrame(
+            {"shard": [shard], "bits": [cf.to_bytes()], "ok": [ok]})
+
+    return apply
+
+
+def _delta_rows(keys: DataFrame, key_col: str, n_shards: int,
+                kind: str) -> DataFrame:
+    return keys.select(
+        shard_of(F.col(key_col), n_shards).alias("shard"),
+        F.lit(None).cast("binary").alias("bits"),
+        F.lit(None).cast("boolean").alias("ok"),
+        F.col(key_col).cast("long").alias("k"),
+        F.lit(kind).alias("kind"),
+    )
+
+
+def build_sharded_cuckoo(
+    keys: DataFrame, key_col: str, n_shards: int, n_expected: int,
+) -> DataFrame:
+    """(shard, bits, ok) table built from scratch — the resume path."""
+    per_shard = max(n_expected // n_shards, 1)
+    return (
+        _delta_rows(keys, key_col, n_shards, "add")
+        .groupBy("shard")
+        .applyInPandas(_apply_group(per_shard), SHARD_SCHEMA)
+    )
+
+
+def update_sharded_cuckoo(
+    shards: DataFrame, keys: DataFrame, key_col: str, n_shards: int,
+    n_expected: int, kind: str = "add",
+) -> DataFrame:
+    """Apply one wave's add or delete delta to the shard table."""
+    per_shard = max(n_expected // n_shards, 1)
+    # k=0 sentinel (never read for bits rows): a NULL long would turn
+    # the pandas column float64 and silently truncate 64-bit keys to 53
+    # bits of mantissa
+    base = shards.select(
+        "shard", "bits", "ok",
+        F.lit(0).cast("long").alias("k"),
+        F.lit("bits").alias("kind"),
+    )
+    return (
+        base.unionByName(_delta_rows(keys, key_col, n_shards, kind))
+        .groupBy("shard")
+        .applyInPandas(_apply_group(per_shard), SHARD_SCHEMA)
+    )
+
+
+def probe_sharded_cuckoo(
+    candidates: DataFrame, key_col: str, shards: DataFrame, n_shards: int,
+) -> DataFrame:
+    """Tag candidates with ``_maybe_seen``. Missing shard row = shard
+    never saw a key = definitively new; degraded shard (ok=false) =
+    maybe-seen for all its candidates (exact join decides)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    tagged = candidates.withColumn("shard", shard_of(F.col(key_col), n_shards))
+    joined = tagged.join(shards, "shard", "left")
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("_maybe_seen", BooleanType())]
+    )
+
+    def probe(pdfs):
+        for pdf in pdfs:
+            groups = []
+            for blob, grp in pdf.groupby("bits", dropna=False, sort=False):
+                if blob is None or (isinstance(blob, float) and pd.isna(blob)):
+                    grp = grp.assign(_maybe_seen=False)
+                elif not bool(grp["ok"].iloc[0]):
+                    grp = grp.assign(_maybe_seen=True)
+                else:
+                    cf = CuckooFilter.from_bytes(bytes(blob))
+                    grp = grp.assign(
+                        _maybe_seen=cf.contains_many(grp[key_col].to_numpy())
+                    )
+                groups.append(grp)
+            res = pd.concat(groups) if groups else pdf.assign(_maybe_seen=False)
+            yield res.drop(columns=["shard", "bits", "ok"])
+
+    return joined.mapInPandas(probe, out_schema)

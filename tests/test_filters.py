@@ -121,3 +121,79 @@ def test_sharded_bloom_empty_shard_is_definitive_miss(spark):
     cand = spark.range(0, 100).select((F.col("id") * 64 + 1).alias("k"))
     probed = probe_sharded_bloom(cand, "k", shards, n_shards=64).collect()
     assert not any(r._maybe_seen for r in probed)
+
+
+def test_sharded_cuckoo_build_probe_update(spark):
+    """Sharded cuckoo == monolith discipline: zero false negatives on
+    probe; delete delta evicts; healthy shards keep prefiltering."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from moca_spark.filters.sharded_cuckoo import (
+        build_sharded_cuckoo,
+        probe_sharded_cuckoo,
+        update_sharded_cuckoo,
+    )
+
+    seen = spark.range(0, 3000, 1, 4).select(F.xxhash64("id").alias("k"))
+    shards = build_sharded_cuckoo(seen, "k", n_shards=8, n_expected=6000)
+    rows = shards.collect()
+    assert len(rows) == 8 and all(r.ok for r in rows)
+
+    cand = spark.range(1500, 4500, 1, 4).select(
+        F.col("id").alias("orig"), F.xxhash64("id").alias("k"))
+    probed = probe_sharded_cuckoo(cand, "k", shards, n_shards=8).collect()
+    assert all(r._maybe_seen for r in probed if r.orig < 3000)  # no FN
+    unseen = [r for r in probed if r.orig >= 3000]
+    assert sum(r._maybe_seen for r in unseen) / len(unseen) < 0.02
+
+    # add delta: 4000-4500 become maybe-seen
+    delta = spark.range(4000, 4500, 1, 2).select(F.xxhash64("id").alias("k"))
+    shards2 = update_sharded_cuckoo(shards, delta, "k", 8, 6000, kind="add")
+    probed2 = probe_sharded_cuckoo(cand, "k", shards2, n_shards=8).collect()
+    assert all(r._maybe_seen for r in probed2 if r.orig >= 4000)
+
+    # delete delta: evicted keys mostly pass as definitively-new again
+    dels = spark.range(0, 3000, 2, 2).select(F.xxhash64("id").alias("k"))
+    shards3 = update_sharded_cuckoo(shards2, dels, "k", 8, 6000, kind="del")
+    probed3 = probe_sharded_cuckoo(
+        spark.range(0, 3000, 2, 2).select(
+            F.col("id").alias("orig"), F.xxhash64("id").alias("k")),
+        "k", shards3, n_shards=8).collect()
+    assert sum(r._maybe_seen for r in probed3) / len(probed3) < 0.05
+
+    # resume-rebuild speed: 10^5 keys build distributed (one shuffle,
+    # no driver iteration by construction)
+    big = spark.range(0, 100_000, 1, 8).select(F.xxhash64("id").alias("k"))
+    t0 = time.time()
+    build_sharded_cuckoo(big, "k", n_shards=64, n_expected=200_000) \
+        .localCheckpoint(eager=True)
+    assert time.time() - t0 < 30  # one distributed job, not a driver loop
+
+
+def test_sharded_cuckoo_saturated_shard_degrades_to_exact(spark):
+    """An overflowing shard flips ok=false and its probes return
+    maybe-seen for EVERYTHING (exact join decides) — PASS-only holds
+    per shard while other shards keep filtering."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.filters.sharded_cuckoo import (
+        build_sharded_cuckoo,
+        probe_sharded_cuckoo,
+    )
+
+    # capacity 8 total over 8 shards -> per-shard filters of ~1 slot
+    # saturate on 1000 keys
+    seen = spark.range(0, 1000, 1, 4).select(F.xxhash64("id").alias("k"))
+    shards = build_sharded_cuckoo(seen, "k", n_shards=8, n_expected=8)
+    assert shards.filter("not ok").count() > 0
+    cand = spark.range(5000, 6000, 1, 4).select(F.xxhash64("id").alias("k"))
+    probed = probe_sharded_cuckoo(cand, "k", shards, n_shards=8)
+    bad = shards.filter("not ok").select("shard")
+    # every candidate landing on a degraded shard must be maybe-seen
+    from moca_spark.filters.sharded_cuckoo import shard_of
+
+    on_bad = probed.withColumn("shard", shard_of(F.col("k"), 8)) \
+        .join(bad, "shard", "left_semi")
+    assert on_bad.filter("not _maybe_seen").count() == 0

@@ -532,6 +532,40 @@ class CrawlEngine:
     # threshold, so each branch scan gets an exact pushed In.
     FETCH_PRUNE_CHUNK = 200
 
+    def _pruned_links(self, parents: DataFrame) -> DataFrame:
+        """The links-graph side of the expand join, pruned to the
+        wave's scheduled hosts. Joining on (src_url, src_host) —
+        src_url alone determines the match; the redundant src_host key
+        enables partition pruning on a src_host-partitioned links
+        table. With links_canonical, two pruning shapes by host count:
+
+        - <= prune_hosts_threshold hosts: a literal host-list filter —
+          static PartitionFilters on the scan, each wave reads only the
+          scheduled hosts' graph partitions, not the whole web;
+        - above the threshold (a literal list that big would bloat
+          every plan and the driver): a broadcast LEFT SEMI join on the
+          distinct scheduled hosts — on a partitioned links table Spark
+          inserts a dynamicpruningexpression into the scan's
+          PartitionFilters (DPP), so pruning survives ANY host count
+          instead of silently disappearing (tools/plan_audit.py
+          asserts the DPP shape)."""
+        links = self.links
+        if not self.links_canonical:
+            return links
+        hosts = [
+            r.src_host
+            for r in parents.select("src_host").distinct()
+            .limit(self.prune_hosts_threshold + 1).collect()
+        ]
+        if 0 < len(hosts) <= self.prune_hosts_threshold:
+            return links.filter(F.col("src_host").isin(hosts))
+        if hosts:
+            return links.join(
+                F.broadcast(parents.select("src_host").distinct()),
+                "src_host", "left_semi",
+            )
+        return links
+
     def _pruned_images(self, sliced: DataFrame) -> DataFrame:
         """The corpus side of the fetch join, pruned to this wave's
         slice — per-wave fetch reads O(slice), independent of corpus
@@ -735,23 +769,7 @@ class CrawlEngine:
                 F.col("rank").alias("parent_rank"),
             )
         )
-        # joining on (src_url, src_host): src_url alone determines the
-        # match, but the redundant src_host key enables partition
-        # pruning on a src_host-partitioned links table. DPP is
-        # best-effort; with links_canonical we ALSO push a literal
-        # host-list filter (the wave's scheduled hosts are bounded by
-        # the active-host count), which prunes statically and shows up
-        # as PartitionFilters on the scan — each wave reads only the
-        # scheduled hosts' graph partitions, not the whole web.
-        links = self.links
-        if self.links_canonical:
-            hosts = [
-                r.src_host
-                for r in parents.select("src_host").distinct()
-                .limit(self.prune_hosts_threshold + 1).collect()
-            ]
-            if 0 < len(hosts) <= self.prune_hosts_threshold:
-                links = links.filter(F.col("src_host").isin(hosts))
+        links = self._pruned_links(parents)
         cand = (
             parents.join(links, ["src_url", "src_host"])
             .withColumn("dst_host", url_host(F.col("dst_url")))

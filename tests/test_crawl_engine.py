@@ -736,3 +736,30 @@ def test_fetch_prune_bucketed_corpus(spark, tmp_path):
     got = eng.run()
     want = oracle_crawl(works, edges, budget=3, corpus_urls=urls)
     assert_match(got, want)
+
+
+def test_links_prune_semi_join_fallback_parity(spark, tmp_path):
+    """Above prune_hosts_threshold the literal host list is replaced by
+    a broadcast semi-join (DPP shape) — crawl parity must hold on that
+    path too (round-2 silently dropped all pruning there)."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.functions.urls import url_host
+
+    edges = zipf_graph(n_hosts=4, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=3)]
+    urls = oracle_corpus_urls(edges, works)
+
+    ldir = str(tmp_path / "links_part")
+    spark.createDataFrame(edges, ["src_url", "dst_url"]) \
+        .withColumn("src_host", url_host(F.col("src_url"))) \
+        .write.partitionBy("src_host").parquet(ldir)
+    eng = CrawlEngine(
+        spark, spark.read.parquet(ldir), images_for_urls(spark, sorted(urls)),
+        budget=2, durable=False, n_salts=2, links_canonical=True,
+    )
+    eng.prune_hosts_threshold = 0  # every wave takes the semi-join path
+    eng.add_works(works)
+    got = eng.run()
+    want = oracle_crawl(works, edges, budget=2, corpus_urls=urls)
+    assert_match(got, want)

@@ -137,6 +137,29 @@ def main() -> int:
           "SelectedBucketsCount" in p and "out of 16" in p,
           detail="" if "SelectedBucketsCount" in p else "no bucket pruning in scan")
 
+    # 6d. links host-prune above the literal-list threshold: the
+    #     join-based fallback must insert a dynamic partition pruning
+    #     expression into the partitioned links scan (round-2 shape
+    #     silently dropped ALL pruning past 10k hosts)
+    dpp_dir = tempfile.mkdtemp(prefix="audit-dpp-")
+    big_links = spark.createDataFrame(
+        [(f"http://h{i}.test/a", f"http://h{i}.test/b", f"h{i}.test")
+         for i in range(30)],
+        ["src_url", "dst_url", "src_host"])
+    big_links.write.partitionBy("src_host").mode("overwrite") \
+        .parquet(f"{dpp_dir}/links")
+    eng_l = CrawlEngine(
+        spark, spark.read.parquet(f"{dpp_dir}/links"), plain,
+        durable=False, links_canonical=True)
+    eng_l.prune_hosts_threshold = 0  # force the fallback path
+    parents_fix = spark.createDataFrame(
+        [(f"http://h{i}.test/a", f"h{i}.test", 1) for i in range(5)],
+        ["src_url", "src_host", "depth"]).filter(F.col("depth") < 3)
+    p = plan_of(parents_fix.join(eng_l._pruned_links(parents_fix),
+                                 ["src_url", "src_host"]))
+    check("links prune: DPP on partitioned scan past host threshold",
+          "dynamicpruning" in p)
+
     # 7. AQE enabled in session
     check("conf: AQE enabled",
           spark.conf.get("spark.sql.adaptive.enabled") == "true")

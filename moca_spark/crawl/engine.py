@@ -340,6 +340,13 @@ class CrawlEngine:
                 frontier, seen = self._reconstruct()
             else:
                 frontier, seen = self.store.load_wave(start)
+                # pre-round-2 snapshots lack the _key column the
+                # STATE_KEYS joins lead with — recompute it on load
+                # (mirrors what _reconstruct does for the eventlog)
+                if "_key" not in frontier.columns:
+                    frontier = frontier.withColumn("_key", self._seen_key())
+                if "_key" not in seen.columns:
+                    seen = seen.withColumn("_key", self._seen_key())
             if self._bloom is not None:  # rebuild the seen bloom (T5)
                 self._bloom = build_bloom_from_df(
                     seen.withColumn("k", self._seen_key()), "k",
@@ -423,7 +430,14 @@ class CrawlEngine:
         — downstream same-key joins/aggregations skip the exchange (and
         with ``sort=True`` the sort-merge sort) on this side entirely.
         State-merge plans are uniform hash-keyed shapes; they don't need
-        AQE's skew handling (the expand/slice stages keep AQE)."""
+        AQE's skew handling (the expand/slice stages keep AQE).
+
+        NOTE: this briefly mutates the session-global AQE conf — the
+        engine assumes a single-threaded driver (one crawl loop per
+        SparkSession, the deployment shape of jobs/crawl_job.py). A
+        concurrent query planned on the same session during the window
+        would plan without AQE; run concurrent workloads on their own
+        SparkSession (``spark.newSession()``) if needed."""
         aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:

@@ -763,3 +763,30 @@ def test_links_prune_semi_join_fallback_parity(spark, tmp_path):
     got = eng.run()
     want = oracle_crawl(works, edges, budget=2, corpus_urls=urls)
     assert_match(got, want)
+
+
+def test_resume_from_pre_round2_snapshot_without_key(spark, tmp_path):
+    """Backward compat: snapshots written before the _key state column
+    existed must still resume (the column is recomputed on load)."""
+    import shutil
+
+    edges = chain_graph(n=6)
+    works = [W("w1", "http://site0.test/0", max_depth=10)]
+    eng1, urls = make_engine(spark, tmp_path / "old", works, edges, budget=1,
+                             durable=True)
+    eng1.run(max_waves=2)
+    chk = tmp_path / "old" / "chk"
+    wave = max(int(p.name.split("=")[1]) for p in chk.glob("wave=*"))
+    # rewrite the latest committed state WITHOUT _key (old layout)
+    for sub in ("frontier", "seen"):
+        d = str(chk / f"wave={wave}" / sub)
+        old = spark.read.parquet(d).drop("_key").collect()
+        schema = spark.read.parquet(d).drop("_key").schema
+        shutil.rmtree(d)
+        spark.createDataFrame(old, schema).write.parquet(d)
+
+    eng2, _ = make_engine(spark, tmp_path / "old", works, edges, budget=1,
+                          durable=True)
+    resumed = eng2.run(resume=True)
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(resumed, want)

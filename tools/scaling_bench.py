@@ -51,14 +51,28 @@ spark.stop()
 """
 
 
+def default_heap_gb(cores: int) -> int:
+    """Heap scales WITH parallelism (3g/core): the criterion's subject
+    is N -> 4N EXECUTORS, and executors bring their heaps with them — a
+    real 4N cluster has 4x the aggregate memory. Giving both levels the
+    same heap (round-1 methodology) models "more threads in one fixed
+    box" instead and made the 32-thread level GC-bound (0.471 measured;
+    that equal-heap number stays reported in BENCH.md as the secondary
+    methodology — reproduce it with MOCA_DRIVER_MEM=24g). Capped at 75%
+    of physical RAM so the 4N level cannot swap or fail to launch on
+    smaller hosts."""
+    want = 3 * cores
+    try:
+        total_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                    ) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gb = want  # unknown RAM: keep the nominal sizing
+    return max(min(want, int(total_gb * 0.75)), 2)
+
+
 def run(cores: int, n: int, reps: int = 3) -> dict:
-    # Heap scales WITH parallelism (3g/core): the criterion's subject is
-    # N -> 4N EXECUTORS, and executors bring their heaps with them — a
-    # real 4N cluster has 4x the aggregate memory. Giving both levels
-    # the same heap (round-1 methodology) models "more threads in one
-    # fixed box" instead and made the 32-thread level GC-bound.
     env = dict(os.environ, MOCA_DRIVER_MEM=os.environ.get(
-        "MOCA_DRIVER_MEM", f"{3 * cores}g"))
+        "MOCA_DRIVER_MEM", f"{default_heap_gb(cores)}g"))
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n),
          str(reps)],

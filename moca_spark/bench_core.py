@@ -136,15 +136,14 @@ def frontier_schedule_dedup(
             .select("_key", "run_id", "url", "host", "depth",
                     (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
         )
-        # MERGE: min-(depth,seq) per url over rest + fresh
+        # MERGE: min-(depth,seq) per url over rest + fresh — the
+        # engine's own merge_frontier (shared so the kernel can't
+        # drift from the engine hot path)
+        from moca_spark.crawl.engine import merge_frontier
+
         rest = fr_state.join(sliced.select(*STATE_KEYS),
                              STATE_KEYS, "left_anti")
-        merged = (
-            rest.unionByName(fresh)
-            .groupBy(*STATE_KEYS)
-            .agg(F.min(F.struct("depth", "seq")).alias("m"),
-                 F.first("host").alias("host"))
-        )
+        merged = merge_frontier(rest, fresh)
         _force(merged)
         t_dedup = time.time() - t1
 

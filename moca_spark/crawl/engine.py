@@ -91,6 +91,38 @@ POLITENESS_INTERVAL_S = 5  # reference default, role/Task.scala:12
 STATE_KEYS = ["_key", "run_id", "url"]
 
 
+def merge_frontier(rest: DataFrame, fresh: DataFrame) -> DataFrame:
+    """J2/J4 frontier min-merge — keep min (depth, seq) per (run, url)
+    (TaskPublisher.scala's queue dedup semantics, re-expressed as
+    state merge). One exchange of O(rest + fresh) by STATE_KEYS.
+
+    Why union+groupBy and not an outer join against the partitioned
+    ``rest``: a full-outer sort-merge join WOULD shuffle only the
+    small ``fresh`` side (rest is KEYS-partitioned+sorted from the
+    previous checkpoint), but SortMergeJoin(FullOuter) reports
+    UnknownPartitioning — null-extended key attributes invalidate the
+    per-attribute hash claim — so the NEXT wave's slice anti-join
+    would re-exchange the whole frontier instead: the O(frontier)
+    exchange moves one stage later, a wash, plus an extra sort.
+    Splitting into left-join + anti-join hits the same wall at the
+    Union (UnionExec also reports UnknownPartitioning). The
+    union+groupBy keeps the Hash(STATE_KEYS) claim that makes the
+    following wave's anti-join and this merge's own rest side
+    exchange-free. The real per-wave shuffle reduction is deferring
+    the merge into the slice exchange entirely (frontier_lsm mode)."""
+    return (
+        rest.unionByName(fresh)
+        .groupBy(*STATE_KEYS)
+        .agg(
+            F.min(F.struct("depth", "seq")).alias("m"),
+            F.first("host").alias("host"),
+        )
+        .select("_key", "run_id", "url", "host",
+                F.col("m.depth").alias("depth"),
+                F.col("m.seq").alias("seq"))
+    )
+
+
 @dataclass
 class CrawlResult:
     frontier: DataFrame
@@ -900,17 +932,7 @@ class CrawlEngine:
         fresh = self._materialize(fresh)
 
         # 6. MERGE — frontier keeps min (depth, seq) per (run, url).
-        frontier_new = (
-            rest.unionByName(fresh)
-            .groupBy(*STATE_KEYS)
-            .agg(
-                F.min(F.struct("depth", "seq")).alias("m"),
-                F.first("host").alias("host"),
-            )
-            .select("_key", "run_id", "url", "host",
-                    F.col("m.depth").alias("depth"),
-                    F.col("m.seq").alias("seq"))
-        )
+        frontier_new = merge_frontier(rest, fresh)
 
         # 7. COMMIT — results first (one materialization), metrics
         #    derived from the checkpointed results (A7 lineage), then

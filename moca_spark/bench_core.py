@@ -47,6 +47,7 @@ def frontier_schedule_dedup(
     materialize_dir: str | None = None,
     fold_every: int = 8,
     dedup_aqe: bool = False,
+    mode: str = "lsm",
 ) -> dict:
     """One full scheduling+dedup wave at scale; returns throughput.
 
@@ -54,8 +55,18 @@ def frontier_schedule_dedup(
     hash-key-led state keys (STATE_KEYS), the seen BASE pre-partitioned
     and pre-sorted by those keys (as _fold_seen leaves it) so the
     admission join runs exchange-free/sort-free on the base side, the
-    frontier state likewise, and the periodic LSM fold timed separately
-    and amortized over ``fold_every`` waves.
+    periodic seen-LSM fold timed separately and amortized over
+    ``fold_every`` waves, and the frontier handled per ``mode``:
+
+    - ``mode="lsm"`` (engine default, frontier_lsm): the frontier
+      arrives as last wave's deduped rest PLUS an unmerged fresh layer
+      (n_frontier//8 rows — steady-state admit ratio); slice_split
+      dedupes+slices+splits it in ONE exchange, and the "merge" is a
+      lazy union of rest and fresh (forced, but exchange-free).
+    - ``mode="merge"`` (snapshot-mode shape, round-2 hot path): merged
+      KEYS-partitioned+sorted frontier state, top-K slice, slice
+      anti-join, union+groupBy min-merge — the second per-wave
+      O(frontier) exchange the LSM mode deletes.
 
     With ``materialize_dir`` the synthetic inputs are written to parquet
     first (untimed) and state tables are prepared from table scans —
@@ -78,17 +89,29 @@ def frontier_schedule_dedup(
                 (F.col("seq") % 100 + 1).alias("parent_rank"))
         .withColumn("run_id", F.lit("bench"))
     )
+    # steady-state fresh layer riding unmerged on the LSM frontier
+    # (~admit ratio of a mid-crawl wave); not counted in `processed`
+    # (conservative: the lsm kernel does MORE rows per reported URL)
+    fresh_prev = _with_key(
+        scale_frontier(spark, max(n_frontier // 8, 1), n_hosts, partitions,
+                       seed=3)
+        .withColumn("run_id", F.lit("bench"))
+    )
     if materialize_dir:
         for name, df in (("frontier", frontier), ("seen", seen),
-                         ("candidates", candidates)):
+                         ("candidates", candidates),
+                         ("fresh_prev", fresh_prev)):
             df.write.mode("overwrite").parquet(f"{materialize_dir}/{name}")
         frontier = spark.read.parquet(f"{materialize_dir}/frontier")
         seen = spark.read.parquet(f"{materialize_dir}/seen")
         candidates = spark.read.parquet(f"{materialize_dir}/candidates")
+        fresh_prev = spark.read.parquet(f"{materialize_dir}/fresh_prev")
 
     # ---- state prep (untimed): the shape previous waves left behind —
-    # KEYS-partitioned, KEYS-sorted, checkpointed with AQE off so the
-    # partitioning/ordering survive into this wave's plans
+    # merge mode: KEYS-partitioned, KEYS-sorted, checkpointed with AQE
+    # off so partitioning/ordering survive into this wave's plans;
+    # lsm mode: a deduped claim-free checkpoint (last slice_split's
+    # ranked rest) plus the unmerged fresh layer
     aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     base = (
@@ -97,22 +120,35 @@ def frontier_schedule_dedup(
         .sortWithinPartitions(*STATE_KEYS)
         .localCheckpoint(eager=True)
     )
-    fr_state = (
+    fr_dedup = (
         frontier.groupBy(*STATE_KEYS)
         .agg(F.min(F.struct("depth", "seq")).alias("m"),
              F.first("host").alias("host"))
         .select("_key", "run_id", "url", "host",
                 F.col("m.depth").alias("depth"), F.col("m.seq").alias("seq"))
-        .sortWithinPartitions(*STATE_KEYS)
-        .localCheckpoint(eager=True)
     )
+    if mode == "lsm":
+        fr_state = fr_dedup.localCheckpoint(eager=True).unionByName(
+            fresh_prev.select(
+                "_key", "run_id", "url", "host", "depth", "seq")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        fr_state = fr_dedup.sortWithinPartitions(*STATE_KEYS) \
+            .localCheckpoint(eager=True)
     spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
     t0 = time.time()
     # SCHEDULE: politeness-bounded per-host priority-queue heads (AQE
     # on); cached like the engine does — the slice is consumed by the
-    # anti-join, the seen delta and (in the engine) the fetch join
-    sliced = top_k_per_host(fr_state, budget, n_salts=16).cache()
+    # anti-join/split, the seen delta and (in the engine) the fetch join
+    if mode == "lsm":
+        from moca_spark.operators.wave import slice_split
+
+        sliced, rest = slice_split(fr_state, budget, n_salts=16)
+        sliced = sliced.cache()
+    else:
+        sliced = top_k_per_host(fr_state, budget, n_salts=16).cache()
     _force(sliced)
     t_sched = time.time() - t0
 
@@ -136,14 +172,18 @@ def frontier_schedule_dedup(
             .select("_key", "run_id", "url", "host", "depth",
                     (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
         )
-        # MERGE: min-(depth,seq) per url over rest + fresh — the
-        # engine's own merge_frontier (shared so the kernel can't
-        # drift from the engine hot path)
+        # MERGE — engine code in both modes (shared so the kernel
+        # can't drift from the engine hot path): lsm forces the lazy
+        # rest∪fresh (exchange-free); merge runs the round-2
+        # union+groupBy over the anti-joined rest
         from moca_spark.crawl.engine import merge_frontier
 
-        rest = fr_state.join(sliced.select(*STATE_KEYS),
-                             STATE_KEYS, "left_anti")
-        merged = merge_frontier(rest, fresh)
+        if mode == "lsm":
+            merged = rest.unionByName(fresh)
+        else:
+            rest = fr_state.join(sliced.select(*STATE_KEYS),
+                                 STATE_KEYS, "left_anti")
+            merged = merge_frontier(rest, fresh)
         _force(merged)
         t_dedup = time.time() - t1
 
@@ -167,6 +207,7 @@ def frontier_schedule_dedup(
     total = t_sched + t_dedup + t_fold / fold_every
     processed = n_frontier + n_candidates
     return {
+        "mode": mode,
         "n_frontier": n_frontier,
         "n_candidates": n_candidates,
         "n_hosts": n_hosts,

@@ -78,7 +78,7 @@ from moca_spark.functions.urls import (
     url_host,
 )
 from moca_spark.operators.fetch import fetch_with_token_bucket
-from moca_spark.operators.wave import top_k_per_host
+from moca_spark.operators.wave import slice_split, top_k_per_host
 from moca_spark.store.lakehouse import CheckpointStore
 
 SEQ_WAVE_STRIDE = 1 << 32
@@ -110,8 +110,15 @@ def merge_frontier(rest: DataFrame, fresh: DataFrame) -> DataFrame:
     following wave's anti-join and this merge's own rest side
     exchange-free. The real per-wave shuffle reduction is deferring
     the merge into the slice exchange entirely (frontier_lsm mode)."""
+    return fold_frontier(rest.unionByName(fresh))
+
+
+def fold_frontier(frontier: DataFrame) -> DataFrame:
+    """Min-merge a frontier that may carry duplicate (run, url) rows
+    down to one min-(depth, seq) row each — the compaction step of the
+    LSM frontier (run end, journal compaction, snapshot commits)."""
     return (
-        rest.unionByName(fresh)
+        frontier
         .groupBy(*STATE_KEYS)
         .agg(
             F.min(F.struct("depth", "seq")).alias("m"),
@@ -183,6 +190,7 @@ class CrawlEngine:
         bucket_state: int = 0,
         fetch_prune: int = 10_000,
         corpus_buckets: int = 0,
+        frontier_lsm: bool | None = None,
     ):
         self.spark = spark
         self.images = images
@@ -245,6 +253,27 @@ class CrawlEngine:
         self.fold_every = max(1, fold_every)
         self._seen_base: DataFrame | None = None
         self._seen_deltas: list[DataFrame] = []
+        # LSM frontier (default outside snapshot mode): the per-wave
+        # frontier is last wave's ``rest`` unioned with its admitted
+        # ``fresh`` — NEVER min-merged per wave. Dedup happens inside
+        # the slice's own (host, salt) exchange (operators/wave.py
+        # slice_split), and rest comes back as a filter over the same
+        # exchanged data, so the former per-wave O(frontier) merge
+        # exchange + hash agg + slice anti-join + sorted claim-
+        # preserving checkpoint all disappear: frontier rows cross the
+        # wire ONCE per wave, not twice. Duplicates are at most one
+        # fresh layer deep (rest is dedup output, fresh is unique per
+        # (run, url)); a full min-merge fold runs only at run end,
+        # journal compaction, and resume reconstruction. Snapshot mode
+        # (durable=True) keeps the merged shape — it must write folded
+        # full state every wave anyway.
+        if frontier_lsm and durable is True:
+            raise ValueError(
+                "frontier_lsm requires durable=False or 'eventlog' "
+                "(snapshot mode writes folded state every wave)")
+        self._frontier_lsm = (
+            durable is not True if frontier_lsm is None else bool(frontier_lsm)
+        )
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -438,6 +467,10 @@ class CrawlEngine:
                 self._seen_base, self._seen_deltas = seen, []
 
         seen = self._fold_seen()
+        if self._frontier_lsm:
+            # compact the one-fresh-layer-deep LSM view down to the
+            # merged contract shape callers (and the oracle) see
+            frontier = fold_frontier(frontier)
         if self.durable:
             results, metrics = self.store.all_results(), self.store.all_metrics()
         else:
@@ -684,12 +717,18 @@ class CrawlEngine:
         self, wave: int, frontier: DataFrame, runs_b: DataFrame
     ) -> DataFrame:
         # 1. SLICE — per-host politeness-bounded queue heads
-        sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
-        # frontier is hash-partitioned+sorted by STATE_KEYS from the
-        # previous merge — the anti-join moves only the small slice
-        rest = frontier.join(
-            sliced.select(*STATE_KEYS), STATE_KEYS, "left_anti"
-        )
+        if self._frontier_lsm:
+            # dedup + slice + split in the slice's own exchange; rest
+            # is a filter over the checkpointed ranked split point
+            sliced, rest = slice_split(frontier, self.budget, self.n_salts)
+            sliced = sliced.cache()
+        else:
+            sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
+            # frontier is hash-partitioned+sorted by STATE_KEYS from the
+            # previous merge — the anti-join moves only the small slice
+            rest = frontier.join(
+                sliced.select(*STATE_KEYS), STATE_KEYS, "left_anti"
+            )
 
         # incremental bloom maintenance: this wave's fetches ARE the new
         # seen entries; add their keys via distributed partial bitmaps
@@ -932,7 +971,13 @@ class CrawlEngine:
         fresh = self._materialize(fresh)
 
         # 6. MERGE — frontier keeps min (depth, seq) per (run, url).
-        frontier_new = merge_frontier(rest, fresh)
+        # LSM mode defers the min-merge into next wave's slice_split:
+        # the union is lazy over two checkpoints (ranked-rest + fresh),
+        # so no per-wave merge exchange, agg, or materialization.
+        if self._frontier_lsm:
+            frontier_new = rest.unionByName(fresh)
+        else:
+            frontier_new = merge_frontier(rest, fresh)
 
         # 7. COMMIT — results first (one materialization), metrics
         #    derived from the checkpointed results (A7 lineage), then
@@ -964,7 +1009,10 @@ class CrawlEngine:
                 )
             )
             self.store.append_events(wave, events)
-            frontier_out = self._materialize(frontier_new, sort=True)
+            frontier_out = (
+                frontier_new if self._frontier_lsm
+                else self._materialize(frontier_new, sort=True)
+            )
         elif self.durable:
             # snapshot mode writes full state every wave anyway, so the
             # deltas fold every wave and the committed state is re-read
@@ -974,7 +1022,10 @@ class CrawlEngine:
             )
             self._seen_base = seen_rd
         else:
-            frontier_out = self._materialize(frontier_new, sort=True)
+            frontier_out = (
+                frontier_new if self._frontier_lsm
+                else self._materialize(frontier_new, sort=True)
+            )
         if len(self._seen_deltas) >= self.fold_every:
             self._fold_seen()
         sliced.unpersist()

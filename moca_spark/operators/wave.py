@@ -55,3 +55,76 @@ def top_k_per_host(
         pre.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def slice_split(
+    frontier: DataFrame, k: int, n_salts: int = 16, host_col: str = "host"
+) -> tuple[DataFrame, DataFrame]:
+    """Slice AND split in ONE frontier exchange: returns
+    ``(sliced, rest)`` where ``sliced`` is exactly
+    ``top_k_per_host(min_merge(frontier), k)`` and ``rest`` is
+    ``min_merge(frontier)`` minus the slice — ``min_merge`` keeping the
+    min-(depth, seq) row per (run_id, url), the J2 frontier-dedup rule.
+
+    This is the LSM-frontier hot path (engine frontier_lsm mode): the
+    per-wave frontier may carry duplicate (run, url) rows (last wave's
+    ``rest`` unioned with its admitted ``fresh`` — never merged), and
+    this operator folds the dedup INTO the (host, salt) exchange the
+    slice must pay anyway. The salt is a deterministic function of the
+    url, so all duplicates of a URL land in the same (host, salt)
+    partition and a partition-local window collapses them — no extra
+    shuffle. Splitting (rather than anti-joining the slice back out of
+    the frontier) makes ``rest`` a filter over the same exchanged data:
+    the engine's former per-wave O(frontier) merge exchange, its hash
+    aggregation, the slice anti-join, and the claim-preserving sorted
+    checkpoint all disappear. Consumed rows leave via the split;
+    re-admits re-enter via ``fresh`` — exactly the add/consume event
+    algebra of the journal (store/lakehouse.py).
+
+    Plan shape (tools/plan_audit.py asserts it): one
+    ``repartition(host, salt)`` exchange satisfies BOTH windows below
+    (their partition keys are supersets of (host, salt), and
+    HashPartitioning(host, salt) satisfies a superset clustering), so
+    the stage is exchange→sort→dedup-window→sort→rank-window; only the
+    ≤ n_salts·k phase-1 survivors per host cross the second (tiny)
+    exchange for the exact rank.
+
+    The ranked split point is localCheckpoint-ed here — it is the
+    wave's single O(frontier) materialization (both returned frames
+    filter it; without it the exchange would run once per consumer).
+    """
+    order = [F.col(c) for c in ORDER_COLS]
+    # pmod(·, 1) == 0: degenerate salt keeps the plan shape uniform
+    # (and non-literal — window partition specs reject bare literals)
+    salt = F.pmod(F.xxhash64("url"), F.lit(max(n_salts, 1)))
+    rep = frontier.withColumn("_salt", salt) \
+        .repartition(F.col(host_col), F.col("_salt"))
+    # dedup window keys lead with _key when present (8-byte compares
+    # before the url string, as everywhere in the state plans)
+    dkeys = [host_col, "_salt"] \
+        + (["_key"] if "_key" in frontier.columns else []) \
+        + ["run_id", "url"]
+    w_d = Window.partitionBy(*dkeys).orderBy("depth", "seq")
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+    ranked = (
+        rep.withColumn("_rd", F.row_number().over(w_d))
+        .filter(F.col("_rd") == 1)
+        .withColumn("_r1", F.row_number().over(w1))
+        .drop("_rd", "_salt")
+        .localCheckpoint(eager=True)
+    )
+    # phase 2 — exact rank over <= n_salts*k survivors per host (the
+    # phase-1 cutoff is over DEDUPED rows, so the two-phase proof in
+    # the module docstring applies unchanged)
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    p2 = (
+        ranked.filter(F.col("_r1") <= k).drop("_r1")
+        .withColumn("rank", F.row_number().over(w2))
+    )
+    sliced = p2.filter(F.col("rank") <= k)
+    # rest = phase-1 losers (big, exchange-free filter) + phase-2
+    # losers (phase-1 survivors beyond the exact top-k — tiny)
+    rest = ranked.filter(F.col("_r1") > k).drop("_r1").unionByName(
+        p2.filter(F.col("rank") > k).drop("rank")
+    )
+    return sliced, rest

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from moca_spark.operators.wave import ORDER_COLS, top_k_per_host
+from moca_spark.operators.wave import ORDER_COLS, slice_split, top_k_per_host
 
 
 def naive_topk(frontier, k):
@@ -54,6 +54,85 @@ def test_salted_topk_equals_naive(spark, n, n_hosts, k, salts, seed):
         naive_topk(fr, k).select("host", "rank", "url", "depth", "seq").collect()
     )
     assert got == want
+
+
+def dup_frontier(spark, n, n_hosts, seed):
+    """Frontier with duplicate (run_id, url) rows at different
+    (depth, seq) — the LSM shape slice_split must min-merge."""
+    base = random_frontier(spark, n, n_hosts, seed)
+    dups = base.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0).select(
+        "url", "host",
+        (F.col("depth") + 2).alias("depth"),
+        (F.col("seq") + 7).alias("seq"),
+        "run_id",
+    )
+    shallower = base.filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0).select(
+        "url", "host",
+        F.greatest(F.col("depth") - 1, F.lit(0)).alias("depth"),
+        (F.col("seq") + 1).alias("seq"),
+        "run_id",
+    )
+    return base.unionByName(dups).unionByName(shallower)
+
+
+def min_merge(frontier):
+    return (
+        frontier.groupBy("run_id", "url")
+        .agg(F.min(F.struct("depth", "seq")).alias("m"),
+             F.first("host").alias("host"))
+        .select("run_id", "url", "host",
+                F.col("m.depth").alias("depth"), F.col("m.seq").alias("seq"))
+    )
+
+
+@pytest.mark.parametrize("n,n_hosts,k,salts,seed", [
+    (400, 7, 3, 8, 1),      # hot hosts with dups
+    (300, 60, 4, 4, 2),     # many hosts with dups
+    (150, 1, 6, 16, 3),     # single giant host with dups
+])
+def test_slice_split_equals_merge_then_topk(spark, n, n_hosts, k, salts, seed):
+    """slice_split(F) must equal (top_k(min_merge(F)),
+    min_merge(F) - top_k(min_merge(F))) — sliced ranks included."""
+    fr = dup_frontier(spark, n, n_hosts, seed)
+    merged = min_merge(fr)
+    sliced, rest = slice_split(fr, k, n_salts=salts)
+    got_slice = sorted(
+        tuple(r) for r in
+        sliced.select("host", "rank", "url", "depth", "seq").collect()
+    )
+    want_slice = sorted(
+        tuple(r) for r in
+        top_k_per_host(merged, k, n_salts=salts)
+        .select("host", "rank", "url", "depth", "seq").collect()
+    )
+    assert got_slice == want_slice
+    got_rest = sorted(
+        tuple(r) for r in
+        rest.select("host", "url", "depth", "seq").collect()
+    )
+    want_keys = {(r.host, r.url) for r in top_k_per_host(merged, k).collect()}
+    want_rest = sorted(
+        tuple(r) for r in merged.select("host", "url", "depth", "seq").collect()
+        if (r.host, r.url) not in want_keys
+    )
+    assert got_rest == want_rest
+
+
+def test_slice_split_single_exchange_for_frontier(spark):
+    """The O(frontier) path must cross exactly ONE exchange (the
+    (host, salt) repartition): the dedup and phase-1 windows reuse it,
+    and rest is a filter over the same checkpointed data (zero
+    exchanges in its incremental plan)."""
+    fr = random_frontier(spark, 5_000, 40, 1).withColumn(
+        "_key", F.xxhash64(F.concat_ws("\x00", "run_id", "url")))
+    sliced, rest = slice_split(fr, 5, n_salts=8)
+    # phase-2's exact-rank window over the tiny survivor set is the
+    # only exchange downstream of the checkpointed split point: the
+    # O(frontier) phase-1-loser branch of rest is a pure filter
+    p_rest = rest._jdf.queryExecution().executedPlan().toString()
+    assert p_rest.count("Exchange hashpartitioning") == 1, p_rest
+    p_sl = sliced._jdf.queryExecution().executedPlan().toString()
+    assert p_sl.count("Exchange hashpartitioning") == 1, p_sl
 
 
 def test_topk_duplicate_order_keys(spark):

@@ -67,6 +67,30 @@ def main() -> int:
     check("wave slice: two window stages (salted + exact)", p.count("RunningWindowFunction") >= 2 or p.count("Window") >= 2)
     check("wave slice: no BatchEvalPython", "BatchEvalPython" not in p)
 
+    # 3b. LSM frontier slice_split (engine frontier_lsm hot path): the
+    #     O(frontier) side must cross exactly ONE exchange — the
+    #     (host, salt) repartition feeds both the dedup window and the
+    #     phase-1 rank window (their partition keys are supersets), and
+    #     ``rest``'s big branch is a pure filter over the checkpointed
+    #     split point. Only the tiny phase-2 exact-rank window adds an
+    #     exchange downstream.
+    from moca_spark.operators.wave import slice_split
+
+    fr_k = fr.withColumn(
+        "_key", F.xxhash64(F.concat_ws("\x00", "run_id", "url")))
+    sliced_s, rest_s = slice_split(fr_k, 5, n_salts=8)
+    p = plan_of(rest_s)
+    check("lsm slice_split: rest = filter + tiny phase-2 (one small "
+          "exchange, none on the O(frontier) branch)",
+          p.count("Exchange hashpartitioning") == 1,
+          f"found {p.count('Exchange hashpartitioning')}")
+    p = plan_of(sliced_s)
+    check("lsm slice_split: sliced = one survivor-set exchange over "
+          "the checkpointed split point",
+          p.count("Exchange hashpartitioning") == 1,
+          f"found {p.count('Exchange hashpartitioning')}")
+    check("lsm slice_split: no BatchEvalPython", "BatchEvalPython" not in p)
+
     # 4. URL kernel plan: Arrow-batched python only
     from moca_spark.functions.urls import with_url_columns
 

@@ -108,12 +108,14 @@ executors. Sandbox form (driver instruction): same job, same input, at
 `local[8]` (N) and `local[32]` (4N), fresh JVM each.
 
 Job: frontier schedule+dedup kernel (`moca_spark/bench_core.py`),
-mirroring the engine's current hot path — salted top-K politeness
-slice, candidate consolidation, admission join against the
-hash-key-partitioned+sorted seen BASE (exchange-free/sort-free on the
-base side), min-depth frontier merge, plus the amortized (1/8) LSM
-fold — on a synthetic Zipf frontier of {n:,} URLs + {n:,} candidates
-over 20,000 hosts.
+mirroring the engine's current hot path (frontier_lsm) — LSM-frontier
+slice_split (dedup + salted top-K politeness slice + rest split in the
+ONE (host, salt) exchange), candidate consolidation, admission join
+against the hash-key-partitioned+sorted seen BASE (exchange-free/
+sort-free on the base side), the lazy rest∪fresh frontier union, plus
+the amortized (1/8) seen fold — on a synthetic Zipf frontier of {n:,}
+URLs (+ an n/8 unmerged fresh layer) + {n:,} candidates over 20,000
+hosts.
 
 Methodology: INTERLEAVED A/B pairs — (local[8], local[32]) x{pairs},
 fresh JVM each, alternating in one session (isolated sessions swing

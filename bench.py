@@ -76,6 +76,9 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    import shutil
+
+    shutil.rmtree(mat, ignore_errors=True)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "frontier URLs scheduled+deduped/sec (north star) + headline query wall-clock",

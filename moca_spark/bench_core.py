@@ -174,17 +174,23 @@ def frontier_schedule_dedup(
         )
         # MERGE — engine code in both modes (shared so the kernel
         # can't drift from the engine hot path): lsm forces the lazy
-        # rest∪fresh (exchange-free); merge runs the round-2
-        # union+groupBy over the anti-joined rest
+        # rest∪fresh (exchange-free — the engine consumes it inside
+        # next wave's slice exchange, so even this force over-charges
+        # lsm by one read); merge runs the round-2 union+groupBy over
+        # the anti-joined rest AND the engine's step-7 sorted AQE-off
+        # localCheckpoint — the round-2 kernel omitted that
+        # materialize, under-measuring the merged path's true per-wave
+        # cost by one O(frontier) sort + state copy
         from moca_spark.crawl.engine import merge_frontier
 
         if mode == "lsm":
-            merged = rest.unionByName(fresh)
+            _force(rest.unionByName(fresh))
         else:
             rest = fr_state.join(sliced.select(*STATE_KEYS),
                                  STATE_KEYS, "left_anti")
-            merged = merge_frontier(rest, fresh)
-        _force(merged)
+            merge_frontier(rest, fresh) \
+                .sortWithinPartitions(*STATE_KEYS) \
+                .localCheckpoint(eager=True)
         t_dedup = time.time() - t1
 
         # FOLD (timed once, amortized /fold_every): the LSM compaction
@@ -283,7 +289,8 @@ def synthetic_web(spark: SparkSession, n_pages: int, n_hosts: int,
 def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
                      n_hosts: int = 20_000, budget: int = 50,
                      waves: int = 3, materialize_dir: str | None = None,
-                     durable="memory", checkpoint_dir: str | None = None) -> dict:
+                     durable="memory", checkpoint_dir: str | None = None,
+                     frontier_lsm: bool | None = None) -> dict:
     """Run the REAL engine for a few waves on a large synthetic web;
     report per-wave wall clock + frontier throughput."""
     from moca_spark.criteria.dsl import CriteriaSpec, Work
@@ -301,7 +308,8 @@ def engine_scale_run(spark: SparkSession, n_pages: int = 2_000_000,
                       durable=False if durable == "memory" else durable,
                       checkpoint_dir=checkpoint_dir,
                       n_salts=16, use_bloom="sharded",
-                      bloom_capacity=n_pages, collect_metrics=False)
+                      bloom_capacity=n_pages, collect_metrics=False,
+                      frontier_lsm=frontier_lsm)
     eng.add_works([
         Work(f"w{i}", u, CriteriaSpec(max_depth=10**6))
         for i, u in enumerate(seed_urls)

@@ -48,6 +48,9 @@ best = sorted(runs, key=lambda r: r["total_sec"])[len(runs) // 2]  # median
 best["all_total_sec"] = [r["total_sec"] for r in runs]
 print("RESULT " + json.dumps(best))
 spark.stop()
+import shutil
+shutil.rmtree(tmp, ignore_errors=True)  # ~1 GB/JVM; a night of
+# sessions otherwise fills the disk and kills shuffle writes mid-run
 """
 
 

@@ -574,6 +574,43 @@ def _q30_connected_components(spark, sf_dir):
     )
 
 
+def _q32_lsm_slice_split(spark, sf_dir):
+    """D1/D2/J2 (LSM frontier, operators/wave.py slice_split): dedupe
+    + politeness slice + rest split of a duplicate-carrying frontier
+    in one exchange. The frontier is orders-derived with a synthetic
+    one-fresh-layer dup set (deeper copies of every third url, the
+    engine's LSM shape); the oracle is the defining identity
+    slice_split(F) == (top_k(min_merge(F)), min_merge(F) - top_k),
+    expressed as SQL min-merge + row_number."""
+    from moca_spark.operators.wave import slice_split
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.lit("r1").alias("run_id"),
+        F.concat(F.lit("http://h"), (F.col("o_custkey") % 200).cast("string"),
+                 F.lit(".test/p"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 200).cast("string"),
+                 F.lit(".test")).alias("host"),
+        (F.col("o_orderkey") % 5).alias("depth"),
+        (F.col("o_orderkey") % 1000).alias("seq"),
+    )
+    dups = base.filter((F.col("seq") % 3) == 0) \
+        .select("run_id", "url", "host",
+                (F.col("depth") + 2).alias("depth"),
+                (F.col("seq") + 7).alias("seq"))
+    frontier = base.unionByName(dups)
+    sliced, rest = slice_split(frontier, 3, n_salts=4)
+    return sliced.select(
+        "host", "url", "depth", "seq",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit("slice").alias("part"),
+    ).unionByName(rest.select(
+        "host", "url", "depth", "seq",
+        F.lit(0).cast("long").alias("rank"),
+        F.lit("rest").alias("part"),
+    ))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_wave_slice_topk": _q01_wave_slice_topk,
@@ -607,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_sessionize_batch": _q29_sessionize_batch,
         "q30_connected_components": _q30_connected_components,
         "q31_ivf_topk": _q31_ivf_topk,
+        "q32_lsm_slice_split": _q32_lsm_slice_split,
     }
 
 
@@ -995,6 +1033,38 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY cosine DESC, vec_id) rnk
               FROM scored)
         WHERE rnk <= 5
+    """
+    sql["q32_lsm_slice_split"] = """
+        WITH base AS (
+          SELECT 'r1' AS run_id,
+                 'http://h' || CAST(o_custkey % 200 AS VARCHAR)
+                   || '.test/p' || CAST(o_orderkey AS VARCHAR) AS url,
+                 'h' || CAST(o_custkey % 200 AS VARCHAR) || '.test' AS host,
+                 o_orderkey % 5 AS depth,
+                 o_orderkey % 1000 AS seq
+          FROM orders),
+        frontier AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT run_id, url, host, depth + 2, seq + 7
+          FROM base WHERE seq % 3 = 0),
+        merged AS (
+          SELECT run_id, url, host, depth, seq
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY run_id, url ORDER BY depth, seq) rd
+                FROM frontier)
+          WHERE rd = 1),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY depth, seq, run_id, url) rnk
+          FROM merged)
+        SELECT host, url, depth, seq, rnk AS "rank", 'slice' AS part
+        FROM ranked WHERE rnk <= 3
+        UNION ALL
+        SELECT host, url, depth, seq, CAST(0 AS BIGINT) AS "rank",
+               'rest' AS part
+        FROM ranked WHERE rnk > 3
     """
     return sql
 

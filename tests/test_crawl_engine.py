@@ -612,8 +612,14 @@ def test_everything_enabled_parity(spark, tmp_path):
         W("w2", "http://host1.test/p0", max_depth=2, same_host=True),
     ]
     urls = oracle_corpus_urls(edges, works)
-    # knock out ~1/4 of the corpus -> fetch failures
-    dropped = {u for u in urls if hash(u) % 4 == 0}
+    # knock out ~1/4 of the corpus -> fetch failures. crc32, NOT
+    # hash(): the built-in string hash is salted per process, and for
+    # ~3% of seeds the dropped set misses every SCHEDULED url, so the
+    # `any(not fetched)` sanity assert below flaked suite-to-suite
+    # (parity itself held for every seed).
+    import zlib
+
+    dropped = {u for u in urls if zlib.crc32(u.encode()) % 4 == 0}
     dropped -= {w.seed_url for w in works}
     corpus = urls - dropped
 

@@ -58,10 +58,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Crawl a deterministic link graph derived from the sf0.001 star
     schema: every customer is a host, every order a page; orders chain
-    per customer (BFS ladder) and every 5th order links to the next
-    customer's first page (cross-host handoff, D5). Fetch corpus =
-    synthesized image+caption rows (input_hint schema). Returns the
-    crawl results table."""
+    per customer (BFS ladder) and every 5th order links to the first
+    page of customer ck+29 when it exists (cross-host handoff, D5).
+    Fetch corpus = synthesized image+caption rows (input_hint schema).
+    Returns the crawl results table."""
     from moca_spark.crawl.engine import CrawlEngine
     from moca_spark.criteria.dsl import CriteriaSpec, Work
     from moca_spark.sources.synth import images_distributed
@@ -83,10 +83,15 @@ def entry(spark: SparkSession) -> DataFrame:
         .select(F.col("url").alias("src_url"), F.col("nxt").alias("dst_url"))
     firsts = pages.withColumn("rn", F.row_number().over(w)) \
         .filter(F.col("rn") == 1).select("ck", F.col("url").alias("first_url"))
-    wck = Window.orderBy("ck")
+    # cross-host handoff via a KEYED self-join (the %29 filter makes
+    # successor ck = ck+29 an equi-join key; a customer with no orders
+    # just yields no cross link) — deliberately NOT a global
+    # Window.orderBy lead: an unpartitioned window funnels every host
+    # through one task, the pattern the engine designs out
+    nxt = firsts.select((F.col("ck") - 29).alias("ck"),
+                        F.col("first_url").alias("nxt_first"))
     cross = (
-        firsts.withColumn("nxt_first", F.lead("first_url").over(wck))
-        .filter(F.col("nxt_first").isNotNull())
+        firsts.join(nxt, "ck")
         .join(pages.filter(F.col("ok") % 5 == 0), "ck")
         .select(F.col("url").alias("src_url"), F.col("nxt_first").alias("dst_url"))
     )

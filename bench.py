@@ -52,15 +52,19 @@ def main() -> None:
     times: dict[str, float] = {}
 
     # 1. north-star kernel: frontier URLs scheduled+deduped per second.
-    #    Inputs materialized (untimed), best of 2 reps — the box has
-    #    high run-to-run variance (see BENCH.md methodology).
+    #    Inputs materialized (untimed), 1 warmup + median of 3 reps —
+    #    a 2-rep bench cannot tell a ±20% box swing from a regression
+    #    (q21 flapped 0.597→0.728 s round-over-round with no code
+    #    change on its path; see BENCH.md methodology).
+    import statistics
     import tempfile
 
     mat = tempfile.mkdtemp(prefix="bench-kernel-")
     t0 = time.time()
     reps = [frontier_schedule_dedup(spark, materialize_dir=mat)
-            for _ in range(2)]
-    kernel = min(reps, key=lambda r: r["total_sec"])
+            for _ in range(4)]
+    post = reps[1:]  # rep 0 = warmup, discarded
+    kernel = sorted(post, key=lambda r: r["total_sec"])[len(post) // 2]
     kernel["reps_total_sec"] = [r["total_sec"] for r in reps]
     times["frontier_kernel"] = kernel["total_sec"]
     times["frontier_kernel_wall"] = round(time.time() - t0, 3)
@@ -70,11 +74,14 @@ def main() -> None:
     crawl = crawl_end_to_end(spark)
     times["crawl_e2e"] = round(time.time() - t0, 3)
 
-    # 3. operator headliners at the sf dir
+    # 3. operator headliners at the sf dir — 1 warmup + median of 3
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for rep in range(4):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples[1:]), 3)
 
     import shutil
 

@@ -684,16 +684,20 @@ class CrawlEngine:
             # bucket-aligned chunk order: consecutive chunks cover
             # consecutive buckets, so each branch's bucket pruning
             # selects only the ~chunk/ids-per-bucket files it needs
+            # distinct BEFORE limit: a multi-run slice carries the same
+            # image_id (sha1(url) is run-independent) on several rows —
+            # limiting raw rows could under-collect distinct ids past
+            # the threshold and silently prune real fetches into misses
             rows = sliced.select(id_col).select(
                 "image_id",
                 F.pmod(F.hash("image_id"), F.lit(self.corpus_buckets))
                 .alias("_b"),
-            ).limit(self.fetch_prune_threshold + 1).collect()
+            ).distinct().limit(self.fetch_prune_threshold + 1).collect()
             ids = [i for _, i in sorted({(r._b, r.image_id) for r in rows})]
         else:
             ids = sorted({
                 r.image_id
-                for r in sliced.select(id_col)
+                for r in sliced.select(id_col).distinct()
                 .limit(self.fetch_prune_threshold + 1).collect()
             })
         if not ids or len(ids) > self.fetch_prune_threshold:

@@ -86,7 +86,10 @@ def probe_sharded_bloom(
     def probe(pdfs):
         for pdf in pdfs:
             groups = []
-            for blob, grp in pdf.groupby("bits", dropna=False, sort=False):
+            # group by the int shard id (unique per bitmap row), not
+            # the multi-KB serialized bitmap
+            for _shard, grp in pdf.groupby("shard", sort=False):
+                blob = grp["bits"].iloc[0]
                 if blob is None or (isinstance(blob, float) and pd.isna(blob)):
                     grp = grp.assign(_maybe_seen=False)
                 else:

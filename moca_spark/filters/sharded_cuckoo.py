@@ -130,7 +130,12 @@ def probe_sharded_cuckoo(
     def probe(pdfs):
         for pdf in pdfs:
             groups = []
-            for blob, grp in pdf.groupby("bits", dropna=False, sort=False):
+            # group by the int shard id — unique per filter row —
+            # never by the serialized blob (multi-KB/MB group keys are
+            # slow, and byte-identical bits with different ok flags
+            # would collapse two shards into one)
+            for _shard, grp in pdf.groupby("shard", sort=False):
+                blob = grp["bits"].iloc[0]
                 if blob is None or (isinstance(blob, float) and pd.isna(blob)):
                     grp = grp.assign(_maybe_seen=False)
                 elif not bool(grp["ok"].iloc[0]):

@@ -744,6 +744,69 @@ def test_fetch_prune_bucketed_corpus(spark, tmp_path):
     assert_match(got, want)
 
 
+def test_fetch_prune_multi_run_duplicate_ids(spark, tmp_path):
+    """Regression (round-3 advice, HIGH): _pruned_images must count
+    DISTINCT image-ids against fetch_prune_threshold. A multi-run slice
+    carries the same image_id on several rows (sha1(url) is
+    run-independent); limiting raw rows before dedup could collect a
+    <=threshold id set that MISSES ids from uncollected rows, pass the
+    fallback guard, and silently prune real fetches into misses."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.sources.synth import links_df
+
+    urls = [f"http://host0.test/p{i}" for i in range(8)]
+    images = images_for_urls(spark, urls)
+    eng = CrawlEngine(
+        spark, links_df(spark, [(urls[0], urls[1])]), images,
+        budget=8, checkpoint_dir=str(tmp_path / "chk"), durable=False,
+        fetch_prune=7,  # 16 slice rows, 8 distinct ids, threshold 7
+    )
+    sliced = spark.createDataFrame(
+        [(f"w{r}", u) for r in range(2) for u in urls],
+        "run_id string, url string",
+    )
+    pruned = eng._pruned_images(sliced)
+    # 8 distinct ids > threshold 7 -> MUST fall back to the full corpus
+    assert pruned.count() == images.count()
+    # and under the threshold the pruned corpus covers every slice id
+    eng.fetch_prune_threshold = 8
+    got_ids = {r.image_id for r in eng._pruned_images(sliced)
+               .select("image_id").collect()}
+    want_ids = {r.image_id for r in sliced.select(
+        F.sha1(F.encode("url", "UTF-8")).alias("image_id")).collect()}
+    assert got_ids == want_ids
+
+
+def test_fetch_prune_multi_run_duplicate_ids_bucketed(spark, tmp_path):
+    """Same regression on the bucketed branch (corpus_buckets set)."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.sources.synth import links_df
+    from moca_spark.store.lakehouse import write_corpus_bucketed
+
+    urls = [f"http://host0.test/p{i}" for i in range(8)]
+    corpus_dir = str(tmp_path / "corpus")
+    images = write_corpus_bucketed(
+        spark, images_for_urls(spark, urls), corpus_dir, n_buckets=4)
+    eng = CrawlEngine(
+        spark, links_df(spark, [(urls[0], urls[1])]), images,
+        budget=8, checkpoint_dir=str(tmp_path / "chk"), durable=False,
+        fetch_prune=7, corpus_buckets=4,
+    )
+    sliced = spark.createDataFrame(
+        [(f"w{r}", u) for r in range(2) for u in urls],
+        "run_id string, url string",
+    )
+    assert eng._pruned_images(sliced).count() == images.count()
+    eng.fetch_prune_threshold = 8
+    got_ids = {r.image_id for r in eng._pruned_images(sliced)
+               .select("image_id").collect()}
+    want_ids = {r.image_id for r in sliced.select(
+        F.sha1(F.encode("url", "UTF-8")).alias("image_id")).collect()}
+    assert got_ids == want_ids
+
+
 def test_links_prune_semi_join_fallback_parity(spark, tmp_path):
     """Above prune_hosts_threshold the literal host list is replaced by
     a broadcast semi-join (DPP shape) — crawl parity must hold on that

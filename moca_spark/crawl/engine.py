@@ -225,6 +225,7 @@ class CrawlEngine:
         # actually live in instead of every branch touching every
         # bucket (task count drops from branches x buckets to ~buckets)
         self.corpus_buckets = corpus_buckets
+        self._corpus_bucket_files: dict[int, list[str]] | None = None
         # use_bloom: False | True (broadcast monolith) | "sharded"
         # (per-hash-range bitmap table — the 10^10 layout where one
         # broadcast bloom would be ~18 GB; filters/sharded_bloom.py) |
@@ -284,6 +285,14 @@ class CrawlEngine:
         )
         # cuckoo mode: DataFrame(shard, bits, ok) like the sharded bloom
         self._cuckoo_shards: DataFrame | None = None
+        # LSM maintenance for the sharded/cuckoo filters: the BASE
+        # shard table above is rewritten only at fold time; in between,
+        # each wave stacks its (tiny) add/del key frames here and
+        # probes them exactly (_probe_filter). Round-3 rewrote and
+        # re-serialized the WHOLE shard table every wave — at the
+        # 10^10 target that is GBs of filter blobs shuffled per wave,
+        # growing with capacity, forever.
+        self._filter_deltas: list[tuple[str, DataFrame]] = []
         self._bloom_bc = None  # previous wave's monolith-bloom broadcast
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
@@ -425,6 +434,20 @@ class CrawlEngine:
                     seen.select(self._seen_key().alias("k")), "k",
                     self.n_bloom_shards, self.bloom_capacity,
                 ).localCheckpoint(eager=True)
+            if self.bloom_mode == "sharded":
+                # T5 for the sharded bloom — without this rebuild a
+                # pre-resume seen URL probes as a definitive MISS and
+                # is admitted WITHOUT the exact join, breaking the
+                # depth-qualified re-crawl rule (latent round-3 bug:
+                # only the monolith and cuckoo filters were rebuilt)
+                from moca_spark.filters.sharded_bloom import (
+                    build_sharded_bloom,
+                )
+
+                self._bloom_shards = build_sharded_bloom(
+                    seen.select(self._seen_key().alias("k")), "k",
+                    self.n_bloom_shards, self.bloom_capacity,
+                ).localCheckpoint(eager=True)
         else:
             start = 0
             frontier, seen = self._initial_state()
@@ -512,12 +535,89 @@ class CrawlEngine:
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
+    def _probe_filter(self, cand2: DataFrame) -> DataFrame:
+        """Tag candidates with ``_maybe_seen`` against the LSM filter:
+        BASE shard-table probe (sharded bloom or cuckoo) OR exact
+        membership in the unfolded add-delta key stack. PASS-only
+        discipline holds by construction: delta membership only ADDS
+        maybe-hits (routed to the exact join, which alone decides);
+        del-deltas pending in the stack are ignored until fold — a
+        stale maybe costs join work, never correctness. The delta
+        broadcast is bounded: <= fold_every x (budget x active hosts)
+        8-byte keys, the politeness bound the slice already obeys."""
+        tagged = cand2.withColumn("_k", F.col("_key"))
+        if self.bloom_mode == "sharded" and self._bloom_shards is not None:
+            from moca_spark.filters.sharded_bloom import probe_sharded_bloom
+
+            tagged = probe_sharded_bloom(
+                tagged, "_k", self._bloom_shards, self.n_bloom_shards)
+        elif self.bloom_mode == "cuckoo" and self._cuckoo_shards is not None:
+            from moca_spark.filters.sharded_cuckoo import probe_sharded_cuckoo
+
+            tagged = probe_sharded_cuckoo(
+                tagged, "_k", self._cuckoo_shards, self.n_bloom_shards)
+        else:  # no base yet (fresh run before the first fold): the
+            # delta stack alone IS the filter state
+            tagged = tagged.withColumn("_maybe_seen", F.lit(False))
+        tagged = tagged.drop("_k")
+        adds = [df for kind, df in self._filter_deltas if kind == "add"]
+        if adds:
+            d = adds[0]
+            for extra in adds[1:]:
+                d = d.unionByName(extra)
+            d = d.distinct().withColumn("_in_delta", F.lit(True))
+            tagged = (
+                tagged.join(F.broadcast(d), tagged["_key"] == d["k"], "left")
+                .drop("k")
+                .withColumn(
+                    "_maybe_seen",
+                    F.col("_maybe_seen")
+                    | F.coalesce(F.col("_in_delta"), F.lit(False)),
+                )
+                .drop("_in_delta")
+            )
+        return tagged
+
+    def _fold_filter(self) -> None:
+        """Fold the pending add/del key deltas into the base filter
+        shard table — the filter-side LSM compaction, run alongside
+        _fold_seen so the whole-table rewrite amortizes over
+        ``fold_every`` waves (round-3 rewrote every wave)."""
+        if not self._filter_deltas:
+            return
+        if self.bloom_mode == "sharded":
+            from moca_spark.filters.sharded_bloom import (
+                build_sharded_bloom,
+                merge_sharded_blooms,
+            )
+
+            adds = [df for kind, df in self._filter_deltas if kind == "add"]
+            if adds:
+                d = adds[0]
+                for extra in adds[1:]:
+                    d = d.unionByName(extra)
+                delta = build_sharded_bloom(
+                    d, "k", self.n_bloom_shards, self.bloom_capacity)
+                self._bloom_shards = (
+                    delta if self._bloom_shards is None
+                    else merge_sharded_blooms(self._bloom_shards, delta)
+                ).localCheckpoint(eager=True)
+        elif self.bloom_mode == "cuckoo":
+            from moca_spark.filters.sharded_cuckoo import apply_cuckoo_deltas
+
+            self._cuckoo_shards = apply_cuckoo_deltas(
+                self._cuckoo_shards, self._filter_deltas, "k",
+                self.n_bloom_shards, self.bloom_capacity,
+            ).localCheckpoint(eager=True)
+        self._filter_deltas = []
+
     def _fold_seen(self) -> DataFrame:
         """Fold the pending consume deltas into the seen base (min
         best_depth per (run, url)) — the LSM compaction of the seen
         state. The base is already hash-partitioned by STATE_KEYS from
         the previous fold, so only the deltas shuffle; the rewrite cost
         is O(|seen|) local work, amortized over `fold_every` waves."""
+        self._fold_filter()
         if not self._seen_deltas:
             return self._seen_base
         merged = self._seen_base
@@ -670,13 +770,17 @@ class CrawlEngine:
         (helps on prunable layouts, harmless otherwise — still one
         scan); multi-branch chunking ONLY on a bucketed corpus (on an
         unprunable layout every branch would rescan the whole table —
-        measured 10x worse, tools/fetch_bench.py); full join above
-        fetch_prune_threshold — collecting an unbounded id list would
-        trade a scan problem for a driver problem; at that regime the
-        corpus belongs in a point-lookup store (Iceberg + file blooms /
-        KV; README divergence #6). tools/plan_audit.py asserts the
-        plan shapes; tools/fetch_bench.py measures rows-read flatness
-        under 8x corpus growth."""
+        measured 10x worse, tools/fetch_bench.py); above
+        fetch_prune_threshold — where collecting an unbounded id list
+        would trade a scan problem for a driver problem — a bucketed
+        corpus degrades to BUCKET-level pruning (_bucket_pruned_images:
+        collect the <= corpus_buckets distinct bucket ids, bounded at
+        ANY slice size, and read only those buckets' files), and an
+        unbucketed one to the full join; at that regime the corpus
+        belongs in a point-lookup store (Iceberg + file blooms / KV;
+        README divergence #6). tools/plan_audit.py asserts the plan
+        shapes; tools/fetch_bench.py measures rows-read flatness under
+        8x corpus growth."""
         if not self.fetch_prune_threshold:
             return self.images
         id_col = F.sha1(F.encode("url", "UTF-8")).alias("image_id")
@@ -700,7 +804,11 @@ class CrawlEngine:
                 for r in sliced.select(id_col).distinct()
                 .limit(self.fetch_prune_threshold + 1).collect()
             })
-        if not ids or len(ids) > self.fetch_prune_threshold:
+        if not ids:
+            return self.images
+        if len(ids) > self.fetch_prune_threshold:
+            if self.corpus_buckets:
+                return self._bucket_pruned_images(sliced)
             return self.images
         chunk = self.FETCH_PRUNE_CHUNK
         if len(ids) > chunk and not self.corpus_buckets:
@@ -716,6 +824,58 @@ class CrawlEngine:
         for b in branches[1:]:
             out = out.unionByName(b)
         return out
+
+    def _bucket_files(self) -> dict[int, list[str]]:
+        """bucket id -> parquet files of the bucketed corpus, parsed
+        from the Spark bucketed-file naming convention
+        (``part-<task>-<uuid>_<bucket:05d>.c000...``). Built once per
+        engine — the corpus is immutable during a crawl. Empty dict =
+        layout not recognized (caller falls back to the full join)."""
+        if self._corpus_bucket_files is None:
+            import re as _re
+
+            mapped: dict[int, list[str]] = {}
+            for f in self.images.inputFiles():
+                m = _re.search(r"_(\d{5})\.c000", f)
+                if not m:
+                    mapped = {}
+                    break
+                mapped.setdefault(int(m.group(1)), []).append(f)
+            self._corpus_bucket_files = mapped
+        return self._corpus_bucket_files
+
+    def _bucket_pruned_images(self, sliced: DataFrame) -> DataFrame:
+        """Bucket-level corpus pruning for slices ABOVE
+        fetch_prune_threshold (round-3 gap: a production wave at the
+        10^10 target schedules ~10^5-10^6 URLs — exactly the regime
+        where the id-list fallback rescanned the whole corpus).
+        Collecting the slice's distinct BUCKET ids is bounded at
+        <= corpus_buckets values for ANY slice size, so the driver
+        cost stays O(buckets); reading only those buckets' files makes
+        the fetch scan O(touched_buckets/B x corpus) instead of
+        O(corpus). The file-list read loses the catalog's bucket
+        metadata (no bucketed-join claim), which the fetch join never
+        relied on — the slice side broadcasts. On Iceberg this is the
+        ``bucket(B, image_id)`` partition-transform prune (README
+        divergence #6)."""
+        files_by_bucket = self._bucket_files()
+        if not files_by_bucket:
+            return self.images
+        id_col = F.sha1(F.encode("url", "UTF-8"))
+        # F.hash IS Spark's bucketing hash (Murmur3 seed 42)
+        buckets = sorted(
+            r._b for r in sliced.select(
+                F.pmod(F.hash(id_col), F.lit(self.corpus_buckets))
+                .alias("_b")
+            ).distinct().collect()
+        )
+        if not buckets or len(buckets) >= len(files_by_bucket):
+            return self.images
+        files = [f for b in buckets for f in files_by_bucket.get(b, [])]
+        if not files:  # slice ids hash only to empty buckets: nothing
+            # can match; the left fetch join sees an empty corpus
+            return self.images.filter(F.lit(False))
+        return self.spark.read.schema(self.images.schema).parquet(*files)
 
     def _step(
         self, wave: int, frontier: DataFrame, runs_b: DataFrame
@@ -743,39 +903,9 @@ class CrawlEngine:
                     self.bloom_capacity,
                 )
             )
-        elif self.bloom_mode == "sharded":
-            from moca_spark.filters.sharded_bloom import (
-                build_sharded_bloom,
-                merge_sharded_blooms,
-            )
-
-            delta = build_sharded_bloom(
-                sliced.select(F.col("_key").alias("k")), "k",
-                self.n_bloom_shards, self.bloom_capacity,
-            )
-            self._bloom_shards = (
-                delta if self._bloom_shards is None
-                else merge_sharded_blooms(self._bloom_shards, delta)
-            ).localCheckpoint(eager=True)
-        elif self.bloom_mode == "cuckoo":
-            # per-shard executor-side inserts (cuckoo kicks are
-            # sequential WITHIN a shard, parallel across shards); a
-            # shard that fills flips ok=false and its probes degrade to
-            # the exact path — PASS-only discipline per shard
-            from moca_spark.filters.sharded_cuckoo import (
-                build_sharded_cuckoo,
-                update_sharded_cuckoo,
-            )
-
-            adds = sliced.select(F.col("_key").alias("k"))
-            self._cuckoo_shards = (
-                build_sharded_cuckoo(
-                    adds, "k", self.n_bloom_shards, self.bloom_capacity)
-                if self._cuckoo_shards is None
-                else update_sharded_cuckoo(
-                    self._cuckoo_shards, adds, "k",
-                    self.n_bloom_shards, self.bloom_capacity, kind="add")
-            ).localCheckpoint(eager=True)
+        # sharded/cuckoo filter maintenance is LSM-deferred: the wave's
+        # add keys ride the seen delta's checkpoint (step 3) onto the
+        # _filter_deltas stack; shards rewrite only at _fold_filter
 
         # 2. FETCH — equi-join against the image+caption corpus, pruned
         #    to the slice's ids (O(slice) corpus reads; _pruned_images)
@@ -827,11 +957,16 @@ class CrawlEngine:
         # 3. SEEN — this wave's fetches (incl. failures) are a new
         #    consume DELTA pushed onto the stack; the min-depth merge
         #    into the base happens lazily in _fold_seen (LSM layout).
-        self._seen_deltas.append(
-            sliced.select("_key", "run_id", "url",
-                          F.col("depth").alias("best_depth"))
-            .localCheckpoint(eager=True)
-        )
+        seen_delta = sliced.select(
+            "_key", "run_id", "url", F.col("depth").alias("best_depth")
+        ).localCheckpoint(eager=True)
+        self._seen_deltas.append(seen_delta)
+        if self.bloom_mode in ("sharded", "cuckoo"):
+            # the wave's filter add-delta is the SAME key set — a
+            # projection of the checkpoint above, no extra
+            # materialization; O(delta) per-wave filter maintenance
+            self._filter_deltas.append(
+                ("add", seen_delta.select(F.col("_key").alias("k"))))
 
         # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
         parents = (
@@ -921,29 +1056,16 @@ class CrawlEngine:
                 tagged.filter(F.col("_maybe"))
             ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
-        elif self.bloom_mode == "sharded" and self._bloom_shards is not None:
-            from moca_spark.filters.sharded_bloom import probe_sharded_bloom
-
-            tagged = probe_sharded_bloom(
-                cand2.withColumn("_k", F.col("_key")), "_k",
-                self._bloom_shards, self.n_bloom_shards,
-            ).drop("_k")
+        elif self.bloom_mode == "sharded":
+            tagged = self._probe_filter(cand2)
             definitely_new = tagged.filter(~F.col("_maybe_seen")).select(*fresh_cols)
             checked = self._admit_unseen(
                 tagged.filter(F.col("_maybe_seen"))
             ).select(*fresh_cols)
             fresh = definitely_new.unionByName(checked)
-        elif self.bloom_mode == "cuckoo" and self._cuckoo_shards is not None:
+        elif self.bloom_mode == "cuckoo":
             # deletable-filter variant of the sharded-bloom path
-            from moca_spark.filters.sharded_cuckoo import (
-                probe_sharded_cuckoo,
-                update_sharded_cuckoo,
-            )
-
-            tagged = probe_sharded_cuckoo(
-                cand2.withColumn("_k", F.col("_key")), "_k",
-                self._cuckoo_shards, self.n_bloom_shards,
-            ).drop("_k")
+            tagged = self._probe_filter(cand2)
             definitely_new = tagged.filter(~F.col("_maybe_seen")) \
                 .select(*fresh_cols)
             checked_full = self._materialize(self._admit_unseen(
@@ -957,15 +1079,12 @@ class CrawlEngine:
             # discipline holds: a deleted entry re-routes future
             # candidates into the frontier min-merge (harmless dup),
             # never drops one — and the URL is re-inserted when its
-            # re-crawl is sliced. Evictions apply as a per-shard delta
-            # on executors (no driver loop).
+            # re-crawl is sliced. The eviction is a stacked del-delta
+            # applied at fold time (per-shard, on executors).
             dels = checked_full.filter(F.col("_was_seen")) \
                 .select(F.col("_key").alias("k"))
             if not dels.isEmpty():
-                self._cuckoo_shards = update_sharded_cuckoo(
-                    self._cuckoo_shards, dels, "k",
-                    self.n_bloom_shards, self.bloom_capacity, kind="del",
-                ).localCheckpoint(eager=True)
+                self._filter_deltas.append(("del", dels))
         else:
             fresh = self._admit_unseen(cand2).select(*fresh_cols)
         # AQE-off materialization: the admit joins against the seen

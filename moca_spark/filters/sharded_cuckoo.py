@@ -11,10 +11,13 @@ DataFrame row ``(shard int, bits binary, ok boolean)``:
 
 - build:  groupBy(shard) -> applyInPandas constructs each shard's
   filter from its keys only (distributed, used for resume rebuild);
-- update: the wave's add/delete keys are unioned with the current
-  shard rows and re-grouped; each shard applies its delta inside one
-  pandas call — inserts stay sequential (partial-key cuckoo kicks need
-  that) but PER SHARD on executors, never on the driver;
+- fold:   an ORDERED stack of add/delete key deltas is unioned with
+  the current shard rows and re-grouped; each shard applies its rows
+  in stack order inside one pandas call — inserts stay sequential
+  (partial-key cuckoo kicks need that) but PER SHARD on executors,
+  never on the driver. The engine stacks per-wave key deltas and folds
+  every ``fold_every`` waves (probing the stack exactly in between),
+  so per-wave maintenance is O(delta), not a whole-table rewrite;
 - probe:  shard-key join brings each candidate batch together with its
   one filter row; vectorized membership per Arrow batch.
 
@@ -42,7 +45,12 @@ def shard_of(key_col: F.Column, n_shards: int) -> F.Column:
 
 def _apply_group(per_shard_capacity: int):
     """applyInPandas fn over a union of one optional filter row
-    (kind='bits') and this delta's key rows (kind='add'/'del')."""
+    (kind='bits') and ordered delta key rows (kind='add'/'del').
+    Delta rows apply in (ord, kind, k) order — ``ord`` is the delta's
+    position in the caller's stack — so folding a multi-wave stack in
+    one call reproduces exactly the filter that per-wave incremental
+    updates would have built (adds before dels within a wave, sorted
+    keys within a kind for determinism)."""
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -55,12 +63,14 @@ def _apply_group(per_shard_capacity: int):
             ok = True
         if ok:  # a degraded shard routes everything to the exact join;
             # further maintenance is pointless
-            for k in sorted(pdf.loc[pdf["kind"] == "add", "k"]):
-                if not cf.add(int(k)):
-                    ok = False
-                    break
-            if ok:
-                for k in sorted(pdf.loc[pdf["kind"] == "del", "k"]):
+            delta = pdf[pdf["kind"] != "bits"] \
+                .sort_values(["ord", "kind", "k"])
+            for k, kind in zip(delta["k"], delta["kind"]):
+                if kind == "add":
+                    if not cf.add(int(k)):
+                        ok = False
+                        break
+                else:
                     cf.delete(int(k))
         return pd.DataFrame(
             {"shard": [shard], "bits": [cf.to_bytes()], "ok": [ok]})
@@ -69,47 +79,61 @@ def _apply_group(per_shard_capacity: int):
 
 
 def _delta_rows(keys: DataFrame, key_col: str, n_shards: int,
-                kind: str) -> DataFrame:
+                kind: str, ord_: int = 0) -> DataFrame:
     return keys.select(
         shard_of(F.col(key_col), n_shards).alias("shard"),
         F.lit(None).cast("binary").alias("bits"),
         F.lit(None).cast("boolean").alias("ok"),
         F.col(key_col).cast("long").alias("k"),
         F.lit(kind).alias("kind"),
+        F.lit(ord_).cast("long").alias("ord"),
     )
+
+
+def apply_cuckoo_deltas(
+    shards: DataFrame | None, deltas: list[tuple[str, DataFrame]],
+    key_col: str, n_shards: int, n_expected: int,
+) -> DataFrame:
+    """Fold an ORDERED stack of ('add'|'del', keys) deltas into the
+    shard table in one distributed groupBy — the LSM filter compaction
+    (engine._fold_filter). ``shards=None`` builds from scratch. Cost is
+    one rewrite of the shard table per fold, amortized over the waves
+    whose deltas are stacked; per-wave maintenance is just stacking the
+    (tiny) key frames."""
+    per_shard = max(n_expected // n_shards, 1)
+    rows = None
+    if shards is not None:
+        # k=0 sentinel (never read for bits rows): a NULL long would
+        # turn the pandas column float64 and silently truncate 64-bit
+        # keys to 53 bits of mantissa
+        rows = shards.select(
+            "shard", "bits", "ok",
+            F.lit(0).cast("long").alias("k"),
+            F.lit("bits").alias("kind"),
+            F.lit(-1).cast("long").alias("ord"),
+        )
+    for i, (kind, keys) in enumerate(deltas):
+        d = _delta_rows(keys, key_col, n_shards, kind, ord_=i)
+        rows = d if rows is None else rows.unionByName(d)
+    return rows.groupBy("shard").applyInPandas(
+        _apply_group(per_shard), SHARD_SCHEMA)
 
 
 def build_sharded_cuckoo(
     keys: DataFrame, key_col: str, n_shards: int, n_expected: int,
 ) -> DataFrame:
     """(shard, bits, ok) table built from scratch — the resume path."""
-    per_shard = max(n_expected // n_shards, 1)
-    return (
-        _delta_rows(keys, key_col, n_shards, "add")
-        .groupBy("shard")
-        .applyInPandas(_apply_group(per_shard), SHARD_SCHEMA)
-    )
+    return apply_cuckoo_deltas(None, [("add", keys)], key_col, n_shards,
+                               n_expected)
 
 
 def update_sharded_cuckoo(
     shards: DataFrame, keys: DataFrame, key_col: str, n_shards: int,
     n_expected: int, kind: str = "add",
 ) -> DataFrame:
-    """Apply one wave's add or delete delta to the shard table."""
-    per_shard = max(n_expected // n_shards, 1)
-    # k=0 sentinel (never read for bits rows): a NULL long would turn
-    # the pandas column float64 and silently truncate 64-bit keys to 53
-    # bits of mantissa
-    base = shards.select(
-        "shard", "bits", "ok",
-        F.lit(0).cast("long").alias("k"),
-        F.lit("bits").alias("kind"),
-    )
-    return (
-        base.unionByName(_delta_rows(keys, key_col, n_shards, kind))
-        .groupBy("shard")
-        .applyInPandas(_apply_group(per_shard), SHARD_SCHEMA)
-    )
+    """Apply one add or delete delta to the shard table."""
+    return apply_cuckoo_deltas(shards, [(kind, keys)], key_col, n_shards,
+                               n_expected)
 
 
 def probe_sharded_cuckoo(

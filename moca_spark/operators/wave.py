@@ -33,6 +33,40 @@ from pyspark.sql import functions as F
 
 ORDER_COLS = ["depth", "seq", "run_id", "url"]
 
+# How slice_split collapses duplicate (run, url) rows to their
+# min-(depth, seq) survivor inside the (host, salt) exchange. All
+# modes are exchange-free past the one (host, salt) repartition
+# (HashPartitioning(host, salt) satisfies any clustering whose key set
+# CONTAINS its expressions — order-insensitive), and all are
+# order-exact: only the within-group (depth, seq) order matters to the
+# dedup, so the relative order of the PARTITION keys in the sort is
+# semantically free.
+#   "window_keyled" — row_number over partitionBy(_key, run, url,
+#       host, salt): the sort LEADS with the uniform 64-bit _key, so
+#       the sorter's 8-byte prefix is radix-friendly and almost every
+#       comparison resolves on one long instead of first scanning the
+#       host/url strings (the "window" shape compares the host STRING
+#       first — every URL shares its "http://" prefix, making the sort
+#       prefix useless). Bytes and comparisons through the
+#       DRAM-bandwidth-bound sort drop; the 4N level gains most.
+#   "window"  — round-3 shape: partitionBy(host, salt, _key, run, url)
+#       — host-string-led sort. Fallback/control.
+#   "sortagg" — groupBy(_key, run, url, host, salt).min(struct(depth,
+#       seq)): plans as partial+final SortAggregate over the same
+#       _key-led sort (min(struct) is not hash-aggregable). MEASURED
+#       AND REJECTED: 12.2s vs window's 10.3s kernel total at
+#       local[32]/8M — the extra aggregate machinery buys nothing over
+#       the window on an already-sorted partition.
+#   "hashagg_packed" — (depth, seq) packed into one long (depth*2^47 +
+#       seq, exact for depth < 2^16, seq < 2^47) so min() gets a
+#       fixed-width buffer and plans as a true exchange-free
+#       HashAggregate — the dedup sort disappears entirely. MEASURED
+#       AND REJECTED: 11.9s vs 10.8s at local[32]/8M — probing a hash
+#       map of ~N mostly-unique string-keyed groups is itself
+#       DRAM-random-access-bound and loses to the radix-prefix sort.
+#       Both kept for tools/slice_dedup_ab.py reproduction.
+SLICE_DEDUP_MODE = "window_keyled"
+
 
 def top_k_per_host(
     frontier: DataFrame, k: int, n_salts: int = 16, host_col: str = "host"
@@ -82,10 +116,14 @@ def slice_split(
     algebra of the journal (store/lakehouse.py).
 
     Plan shape (tools/plan_audit.py asserts it): one
-    ``repartition(host, salt)`` exchange satisfies BOTH windows below
-    (their partition keys are supersets of (host, salt), and
-    HashPartitioning(host, salt) satisfies a superset clustering), so
-    the stage is exchange→sort→dedup-window→sort→rank-window; only the
+    ``repartition(host, salt)`` exchange satisfies both the dedup and
+    the rank step (their keys are supersets of (host, salt), and
+    HashPartitioning(host, salt) satisfies any clustering whose key
+    set contains its expressions). With the default
+    ``SLICE_DEDUP_MODE="hashagg"`` the stage is
+    exchange→hash-aggregate→sort→rank-window — ONE O(frontier) sort
+    per wave; the "window" fallback is
+    exchange→sort→dedup-window→sort→rank-window (two). Only the
     ≤ n_salts·k phase-1 survivors per host cross the second (tiny)
     exchange for the exact rank.
 
@@ -99,20 +137,63 @@ def slice_split(
     salt = F.pmod(F.xxhash64("url"), F.lit(max(n_salts, 1)))
     rep = frontier.withColumn("_salt", salt) \
         .repartition(F.col(host_col), F.col("_salt"))
-    # dedup window keys lead with _key when present (8-byte compares
-    # before the url string, as everywhere in the state plans)
-    dkeys = [host_col, "_salt"] \
-        + (["_key"] if "_key" in frontier.columns else []) \
-        + ["run_id", "url"]
-    w_d = Window.partitionBy(*dkeys).orderBy("depth", "seq")
+    # dedup keys lead with _key when present (8-byte radix-friendly
+    # compares before the url string — see SLICE_DEDUP_MODE)
+    mode = SLICE_DEDUP_MODE
+    keyed = ["_key"] if "_key" in frontier.columns else []
+    if mode == "window":  # round-3 control: host-string-led sort
+        dkeys = [host_col, "_salt"] + keyed + ["run_id", "url"]
+    else:
+        dkeys = keyed + ["run_id", "url", host_col, "_salt"]
     w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
-    ranked = (
-        rep.withColumn("_rd", F.row_number().over(w_d))
-        .filter(F.col("_rd") == 1)
-        .withColumn("_r1", F.row_number().over(w1))
-        .drop("_rd", "_salt")
-        .localCheckpoint(eager=True)
-    )
+    # the aggregate forms need every non-key column to be (depth, seq)
+    # — payload columns would be dropped; fall back to the window
+    agg_ok = set(frontier.columns) | {"_salt"} == set(dkeys) | {"depth", "seq"}
+    if mode == "hashagg_packed" and agg_ok:
+        # (depth, seq) packed into ONE long: depth * 2^47 + seq. A
+        # fixed-width long buffer makes min() HASH-aggregable
+        # (min(struct) plans as SortAggregate), so the dedup costs a
+        # hash probe per row instead of a full partition sort — the
+        # rank window's sort becomes the stage's ONLY sort. Exact iff
+        # depth < 2^16 and seq < 2^47, which the engine guarantees
+        # structurally (depth <= wave, seq = wave*2^32 + parent_rank,
+        # wave capped below 2^15 — engine.run asserts it); generic
+        # callers with unbounded depth/seq should use a window mode.
+        pack = F.col("depth").cast("long") * F.lit(1 << 47) + F.col("seq")
+        ded = (
+            rep.groupBy(*dkeys)
+            .agg(F.min(pack).alias("_p"))
+            .select(*dkeys,
+                    F.shiftright("_p", 47).cast("int").alias("depth"),
+                    (F.col("_p") % F.lit(1 << 47)).alias("seq"))
+        )
+        ranked = (
+            ded.withColumn("_r1", F.row_number().over(w1))
+            .drop("_salt")
+            .localCheckpoint(eager=True)
+        )
+    elif mode == "sortagg" and agg_ok:
+        ded = (
+            rep.groupBy(*dkeys)
+            .agg(F.min(F.struct("depth", "seq")).alias("_m"))
+            .select(*dkeys,
+                    F.col("_m.depth").alias("depth"),
+                    F.col("_m.seq").alias("seq"))
+        )
+        ranked = (
+            ded.withColumn("_r1", F.row_number().over(w1))
+            .drop("_salt")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        w_d = Window.partitionBy(*dkeys).orderBy("depth", "seq")
+        ranked = (
+            rep.withColumn("_rd", F.row_number().over(w_d))
+            .filter(F.col("_rd") == 1)
+            .withColumn("_r1", F.row_number().over(w1))
+            .drop("_rd", "_salt")
+            .localCheckpoint(eager=True)
+        )
     # phase 2 — exact rank over <= n_salts*k survivors per host (the
     # phase-1 cutoff is over DEDUPED rows, so the two-phase proof in
     # the module docstring applies unchanged)

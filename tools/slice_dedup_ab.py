@@ -1,4 +1,4 @@
-"""A/B the slice_split dedup implementation: window-sort vs hash-agg.
+"""A/B the slice_split dedup implementation: window-sort vs _key-led window vs sort-agg.
 
 slice_split (operators/wave.py) dedupes the LSM frontier inside the
 (host, salt) slice exchange. Two ways to collapse duplicate (run, url)
@@ -89,19 +89,22 @@ def run(cores: int, n: int, mode: str, reps: int = 3) -> dict:
     raise RuntimeError(f"no result local[{cores}] {mode}:\n{out.stderr[-1500:]}")
 
 
+MODES = ("window", "window_keyled", "sortagg")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     acc: dict[str, dict[int, list]] = {
-        m: {8: [], 32: []} for m in ("window", "hashagg")}
+        m: {8: [], 32: []} for m in MODES}
     for _ in range(pairs):
-        for mode in ("window", "hashagg"):
+        for mode in MODES:
             for cores in (8, 32):
                 acc[mode][cores].append(run(cores, n, mode))
     med = lambda rs: sorted(  # noqa: E731
         rs, key=lambda r: r["urls_per_sec"])[len(rs) // 2]
     out = {"n": n, "pairs": pairs}
-    for mode in ("window", "hashagg"):
+    for mode in MODES:
         r8, r32 = med(acc[mode][8]), med(acc[mode][32])
         out[mode] = {
             "thr8": r8["urls_per_sec"], "thr32": r32["urls_per_sec"],

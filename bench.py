@@ -93,10 +93,15 @@ def main() -> None:
     # entries, which are comparable (medians vs single runs).
     total = round(sum(v for k, v in times.items()
                       if k != "frontier_kernel_wall"), 3)
+    # rounds <=3 summed every entry INCLUDING the multi-rep kernel
+    # wall; emit that sum too so a consumer diffing the headline across
+    # the r3/r4 boundary has an apples-to-apples number (ADVICE r4)
+    total_old = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "frontier URLs scheduled+deduped/sec (north star) + headline query wall-clock",
         "value": total,
         "value_semantics": "sum of per-item medians, kernel wall excluded (round 4+)",
+        "value_r3_semantics": total_old,
         "unit": "sec",
         "queries": times,
         "sf": sf,

@@ -402,6 +402,15 @@ class CrawlEngine:
 
     # -- entry point 2: the crawl loop (SELECT) ---------------------------
     def run(self, max_waves: int = 10_000, resume: bool = False) -> CrawlResult:
+        from moca_spark.operators import wave as _wave_mod
+
+        if self._frontier_lsm and _wave_mod.SLICE_DEDUP_MODE == "hashagg_packed":
+            # the packed-long dedup is exact only for depth < 2^16 and
+            # seq < 2^47 (seq = wave*2^32 + parent_rank ⇒ wave < 2^15)
+            assert max_waves < (1 << 15), (
+                "SLICE_DEDUP_MODE='hashagg_packed' packs (depth, seq) "
+                "into one long — exact only for wave < 2^15; lower "
+                "max_waves or use a window dedup mode")
         if resume and self.store.latest_wave() is not None:
             if not self.durable:
                 raise ValueError("resume requires durable=True or 'eventlog'")

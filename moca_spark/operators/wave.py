@@ -120,12 +120,12 @@ def slice_split(
     the rank step (their keys are supersets of (host, salt), and
     HashPartitioning(host, salt) satisfies any clustering whose key
     set contains its expressions). With the default
-    ``SLICE_DEDUP_MODE="hashagg"`` the stage is
-    exchange→hash-aggregate→sort→rank-window — ONE O(frontier) sort
-    per wave; the "window" fallback is
-    exchange→sort→dedup-window→sort→rank-window (two). Only the
-    ≤ n_salts·k phase-1 survivors per host cross the second (tiny)
-    exchange for the exact rank.
+    ``SLICE_DEDUP_MODE="window_keyled"`` the stage is
+    exchange→dedup-window→rank-window over one _key-led sort plus the
+    rank re-sort, all inside the one exchange; only the ≤ n_salts·k
+    phase-1 survivors per host cross the second (tiny) exchange for
+    the exact rank. (The aggregate modes below were measured and
+    rejected — see SLICE_DEDUP_MODE.)
 
     The ranked split point is localCheckpoint-ed here — it is the
     wave's single O(frontier) materialization (both returned frames
@@ -156,9 +156,10 @@ def slice_split(
         # hash probe per row instead of a full partition sort — the
         # rank window's sort becomes the stage's ONLY sort. Exact iff
         # depth < 2^16 and seq < 2^47, which the engine guarantees
-        # structurally (depth <= wave, seq = wave*2^32 + parent_rank,
-        # wave capped below 2^15 — engine.run asserts it); generic
-        # callers with unbounded depth/seq should use a window mode.
+        # structurally (depth <= wave, seq = wave*2^32 + parent_rank;
+        # engine.run asserts max_waves < 2^15 when this mode is
+        # active); generic callers with unbounded depth/seq should
+        # use a window mode.
         pack = F.col("depth").cast("long") * F.lit(1 << 47) + F.col("seq")
         ded = (
             rep.groupBy(*dkeys)

@@ -47,8 +47,18 @@ def main() -> None:
                     help="links table is pre-canonicalized (typically "
                          "src_host-partitioned parquet: per-wave host "
                          "partition pruning, no full-graph cache)")
+    ap.add_argument("--corpus-buckets", type=int, default=0,
+                    help="--images was written by write_corpus_bucketed "
+                         "with this bucket count: big waves prune the "
+                         "fetch scan to the touched buckets' files "
+                         "instead of rescanning the corpus (the "
+                         "production layout — without it, waves past "
+                         "the fetch-prune id threshold fall back to a "
+                         "full corpus join and warn)")
     ap.add_argument("--demo", action="store_true",
-                    help="synthesize a Zipf world instead of --links/--images")
+                    help="synthesize a Zipf world instead of --links/--images "
+                         "(the demo corpus is written bucketed — the layout "
+                         "production should use)")
     args = ap.parse_args()
 
     # under spark-submit the session already exists; moca_spark arrives
@@ -80,7 +90,15 @@ def main() -> None:
         links = links_df(spark, zipf_graph(n_hosts=8, pages_per_host=10))
         urls = links.select(F.col("src_url").alias("url")).unionByName(
             links.select(F.col("dst_url").alias("url"))).distinct()
-        images = images_distributed(spark, urls).cache()
+        # demo runs on the PRODUCTION corpus layout: bucketed+sorted on
+        # image_id (write_corpus_bucketed), so the fetch join is
+        # bucket-prunable at any slice size out of the box
+        from moca_spark.store.lakehouse import write_corpus_bucketed
+
+        args.corpus_buckets = args.corpus_buckets or 16
+        images = write_corpus_bucketed(
+            spark, images_distributed(spark, urls),
+            f"{args.checkpoint}/demo-corpus", n_buckets=args.corpus_buckets)
         works = [Work("demo", "http://host0.test/p0", CriteriaSpec(max_depth=3))]
     else:
         links = spark.read.parquet(args.links)
@@ -98,6 +116,7 @@ def main() -> None:
         use_bloom=use_bloom, bloom_capacity=args.bloom_capacity,
         bucket_state=args.bucket_state, fold_every=args.fold_every,
         links_canonical=args.links_canonical,
+        corpus_buckets=args.corpus_buckets,
     )
     eng.add_works(works)
     res = eng.run(max_waves=args.max_waves, resume=args.resume)

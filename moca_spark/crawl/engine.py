@@ -191,6 +191,7 @@ class CrawlEngine:
         fetch_prune: int = 10_000,
         corpus_buckets: int = 0,
         frontier_lsm: bool | None = None,
+        filter_delta_max_keys: int = 10_000_000,
     ):
         self.spark = spark
         self.images = images
@@ -226,6 +227,7 @@ class CrawlEngine:
         # bucket (task count drops from branches x buckets to ~buckets)
         self.corpus_buckets = corpus_buckets
         self._corpus_bucket_files: dict[int, list[str]] | None = None
+        self._warned_unbucketed = False
         # use_bloom: False | True (broadcast monolith) | "sharded"
         # (per-hash-range bitmap table — the 10^10 layout where one
         # broadcast bloom would be ~18 GB; filters/sharded_bloom.py) |
@@ -293,6 +295,17 @@ class CrawlEngine:
         # 10^10 target that is GBs of filter blobs shuffled per wave,
         # growing with capacity, forever.
         self._filter_deltas: list[tuple[str, DataFrame]] = []
+        # The unfolded add-delta stack is probed via BROADCAST
+        # (_probe_filter) — bounded in the common case at fold_every x
+        # (budget x active hosts) 8-byte keys, but at 10^6 active hosts
+        # x budget 8 x fold_every 8 that is ~0.5 GB per wave, past the
+        # comfortable broadcast range. The bound is ENFORCED here: the
+        # stacked key count is tracked per wave (from the same
+        # materialization job the seen delta already pays) and an early
+        # _fold_filter fires once it crosses this threshold, so the
+        # broadcast can never exceed ~threshold x 8 bytes.
+        self.filter_delta_max_keys = filter_delta_max_keys
+        self._filter_delta_keys = 0
         self._bloom_bc = None  # previous wave's monolith-bloom broadcast
         self._results_acc: list[DataFrame] = []
         self._metrics_acc: list[DataFrame] = []
@@ -552,8 +565,11 @@ class CrawlEngine:
         maybe-hits (routed to the exact join, which alone decides);
         del-deltas pending in the stack are ignored until fold — a
         stale maybe costs join work, never correctness. The delta
-        broadcast is bounded: <= fold_every x (budget x active hosts)
-        8-byte keys, the politeness bound the slice already obeys."""
+        broadcast is bounded and ENFORCED: the engine counts stacked
+        keys per wave and folds early once they cross
+        ``filter_delta_max_keys`` (default 10M ~ 80 MB broadcast), so
+        the exact-membership frame can never grow past that no matter
+        how many hosts a wave schedules."""
         tagged = cand2.withColumn("_k", F.col("_key"))
         if self.bloom_mode == "sharded" and self._bloom_shards is not None:
             from moca_spark.filters.sharded_bloom import probe_sharded_bloom
@@ -591,13 +607,18 @@ class CrawlEngine:
         """Fold the pending add/del key deltas into the base filter
         shard table — the filter-side LSM compaction, run alongside
         _fold_seen so the whole-table rewrite amortizes over
-        ``fold_every`` waves (round-3 rewrote every wave)."""
+        ``fold_every`` waves (round-3 rewrote every wave). Only shards
+        the deltas actually touch pass through the pandas
+        re-serialization; untouched base rows union through unchanged
+        (fold cost = O(touched shards), not O(shard table))."""
         if not self._filter_deltas:
+            self._filter_delta_keys = 0
             return
         if self.bloom_mode == "sharded":
             from moca_spark.filters.sharded_bloom import (
                 build_sharded_bloom,
                 merge_sharded_blooms,
+                shard_of,
             )
 
             adds = [df for kind, df in self._filter_deltas if kind == "add"]
@@ -607,10 +628,23 @@ class CrawlEngine:
                     d = d.unionByName(extra)
                 delta = build_sharded_bloom(
                     d, "k", self.n_bloom_shards, self.bloom_capacity)
-                self._bloom_shards = (
-                    delta if self._bloom_shards is None
-                    else merge_sharded_blooms(self._bloom_shards, delta)
-                ).localCheckpoint(eager=True)
+                if self._bloom_shards is None:
+                    merged = delta
+                else:
+                    # bounded collect (<= n_bloom_shards values) over
+                    # the checkpointed key frames: base shards with no
+                    # delta keys skip the OR-merge rewrite entirely
+                    touched = sorted(r.s for r in d.select(
+                        shard_of(F.col("k"), self.n_bloom_shards).alias("s")
+                    ).distinct().collect())
+                    merged = self._bloom_shards.filter(
+                        ~F.col("shard").isin(touched)
+                    ).unionByName(merge_sharded_blooms(
+                        self._bloom_shards.filter(
+                            F.col("shard").isin(touched)),
+                        delta,
+                    ))
+                self._bloom_shards = merged.localCheckpoint(eager=True)
         elif self.bloom_mode == "cuckoo":
             from moca_spark.filters.sharded_cuckoo import apply_cuckoo_deltas
 
@@ -619,6 +653,7 @@ class CrawlEngine:
                 self.n_bloom_shards, self.bloom_capacity,
             ).localCheckpoint(eager=True)
         self._filter_deltas = []
+        self._filter_delta_keys = 0
 
     def _fold_seen(self) -> DataFrame:
         """Fold the pending consume deltas into the seen base (min
@@ -818,6 +853,20 @@ class CrawlEngine:
         if len(ids) > self.fetch_prune_threshold:
             if self.corpus_buckets:
                 return self._bucket_pruned_images(sliced)
+            if not self._warned_unbucketed:
+                import warnings
+
+                self._warned_unbucketed = True
+                warnings.warn(
+                    "a wave scheduled more than fetch_prune="
+                    f"{self.fetch_prune_threshold} URLs against an "
+                    "UNBUCKETED corpus: every such wave rescans the "
+                    "whole corpus table. Write the corpus with "
+                    "store.lakehouse.write_corpus_bucketed and pass "
+                    "corpus_buckets= so big waves prune to the touched "
+                    "buckets' files instead",
+                    stacklevel=2,
+                )
             return self.images
         chunk = self.FETCH_PRUNE_CHUNK
         if len(ids) > chunk and not self.corpus_buckets:
@@ -839,7 +888,22 @@ class CrawlEngine:
         from the Spark bucketed-file naming convention
         (``part-<task>-<uuid>_<bucket:05d>.c000...``). Built once per
         engine — the corpus is immutable during a crawl. Empty dict =
-        layout not recognized (caller falls back to the full join)."""
+        layout not recognized OR not consistent with ``corpus_buckets``
+        (caller falls back to the correct-by-construction full join).
+
+        The constructor's ``corpus_buckets`` is correctness-bearing on
+        this path (a wrong value silently prunes real fetches into
+        misses), so the layout hypothesis is VALIDATED, once, before
+        any pruning:
+
+        - every parsed bucket id must be < corpus_buckets (catches a
+          configured count smaller than the physical one);
+        - a sample of rows from a few files must hash to their file's
+          bucket id under pmod(hash(image_id), corpus_buckets)
+          (catches a larger configured count and a corpus bucketed on
+          a different column — each sampled row of a mis-declared
+          layout agrees only by 1/k chance, so ~20 rows make a false
+          pass negligible)."""
         if self._corpus_bucket_files is None:
             import re as _re
 
@@ -850,8 +914,47 @@ class CrawlEngine:
                     mapped = {}
                     break
                 mapped.setdefault(int(m.group(1)), []).append(f)
+            if mapped and not self._validate_bucket_layout(mapped):
+                mapped = {}
             self._corpus_bucket_files = mapped
         return self._corpus_bucket_files
+
+    def _validate_bucket_layout(self, mapped: dict[int, list[str]]) -> bool:
+        import warnings
+
+        if max(mapped) >= self.corpus_buckets:
+            warnings.warn(
+                f"corpus_buckets={self.corpus_buckets} but the corpus "
+                f"layout has bucket ids up to {max(mapped)} — bucket "
+                "pruning disabled, falling back to the full fetch join "
+                "(pass the n_buckets the corpus was actually written "
+                "with; see store.lakehouse.write_corpus_bucketed)",
+                stacklevel=3,
+            )
+            return False
+        # sample rows from up to 8 files; every row must land in its
+        # file's bucket under the declared (column, count) hypothesis.
+        # F.hash IS Spark's bucketing hash (Murmur3 seed 42).
+        sample = [(b, fs[0]) for b, fs in sorted(mapped.items())[:8]]
+        for b, f in sample:
+            rows = (
+                self.spark.read.schema(self.images.schema).parquet(f)
+                .select(
+                    F.pmod(F.hash("image_id"), F.lit(self.corpus_buckets))
+                    .alias("_b"))
+                .limit(20).collect()
+            )
+            if any(r._b != b for r in rows):
+                warnings.warn(
+                    f"corpus file for bucket {b} holds rows hashing "
+                    f"elsewhere under pmod(hash(image_id), "
+                    f"{self.corpus_buckets}) — the corpus was bucketed "
+                    "with a different count or column; bucket pruning "
+                    "disabled, falling back to the full fetch join",
+                    stacklevel=3,
+                )
+                return False
+        return True
 
     def _bucket_pruned_images(self, sliced: DataFrame) -> DataFrame:
         """Bucket-level corpus pruning for slices ABOVE
@@ -966,9 +1069,14 @@ class CrawlEngine:
         # 3. SEEN — this wave's fetches (incl. failures) are a new
         #    consume DELTA pushed onto the stack; the min-depth merge
         #    into the base happens lazily in _fold_seen (LSM layout).
+        #    Lazy checkpoint + count(): the count job IS the
+        #    materialization (eager=True would run the same job
+        #    internally), so the delta's row count comes for free —
+        #    it feeds the filter-delta broadcast bound below.
         seen_delta = sliced.select(
             "_key", "run_id", "url", F.col("depth").alias("best_depth")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        n_delta = seen_delta.count()
         self._seen_deltas.append(seen_delta)
         if self.bloom_mode in ("sharded", "cuckoo"):
             # the wave's filter add-delta is the SAME key set — a
@@ -976,6 +1084,12 @@ class CrawlEngine:
             # materialization; O(delta) per-wave filter maintenance
             self._filter_deltas.append(
                 ("add", seen_delta.select(F.col("_key").alias("k"))))
+            self._filter_delta_keys += n_delta
+            if self._filter_delta_keys > self.filter_delta_max_keys:
+                # enforce the probe-broadcast bound: fold the stack
+                # into the shard base now instead of broadcasting an
+                # oversized exact-membership frame this wave
+                self._fold_filter()
 
         # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
         parents = (
@@ -1090,10 +1204,13 @@ class CrawlEngine:
             # never drops one — and the URL is re-inserted when its
             # re-crawl is sliced. The eviction is a stacked del-delta
             # applied at fold time (per-shard, on executors).
+            # stacked UNCONDITIONALLY: deciding emptiness here would
+            # cost a per-wave driver action (a job over checked_full),
+            # and an empty del frame is free at fold time — its shard
+            # set is empty, so it touches nothing
             dels = checked_full.filter(F.col("_was_seen")) \
                 .select(F.col("_key").alias("k"))
-            if not dels.isEmpty():
-                self._filter_deltas.append(("del", dels))
+            self._filter_deltas.append(("del", dels))
         else:
             fresh = self._admit_unseen(cand2).select(*fresh_cols)
         # AQE-off materialization: the admit joins against the seen

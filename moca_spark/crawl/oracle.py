@@ -26,15 +26,27 @@ is actor-timing-dependent; what is deterministic — and what the
 reference's own tests pin — is per-host BFS order and the final seen
 set. The shared ordering contract (oracle == engine, row-for-row):
 
-- wave slice per host: order by (depth, seq, run_id, url), take top
-  ``budget`` rows, rank 1..budget = fetch order (politeness order);
+- politeness partition = the 64-bit ``xxhash64`` of the partition
+  selector's output (by-host by default). A hash collision merges two
+  hosts into ONE politeness bucket — they share a budget (never less
+  polite; ~3e-4 chance of any colliding pair at 10^8 hosts) — and
+  both sides compute the same hash, so parity holds even then. The
+  engine gets numeric exchange hashing and a numeric window sort
+  prefix out of this (operators/wave.py HOST_KEY_MODE);
+- wave slice per partition: order by (depth, seq, _key, run_id, url)
+  where ``_key = xxhash64(run_id || '\\x00' || url)`` (the frontier's
+  state key, functions/xxh64.py driver-side) — ties resolve on one
+  8-byte long in the engine's DRAM-bound rank sorts; run_id/url stay
+  BEHIND the key, so the order is total and deterministic even under
+  a _key collision. Take top ``budget`` rows, rank 1..budget = fetch
+  order (politeness order);
 - child candidate: depth = parent depth + 1, carries parent_rank;
 - consolidation per (run_id, dst): min (depth, parent_rank);
 - admission: unseen, or strictly smaller depth (re-crawl, T8);
 - fresh frontier seq = wave * 2^32 + parent_rank — children of
   earlier-fetched parents order first (FIFO enqueue approximation of
-  InsertionOrderedSet), remaining ties broken by (run_id, url) at
-  slice time. Crucially this needs NO global per-host dense
+  InsertionOrderedSet), remaining ties broken by (_key, run_id, url)
+  at slice time. Crucially this needs NO global per-host dense
   numbering, so the engine computes it without an unbounded window —
   the property that lets the frontier scale to 10^10 rows.
 """
@@ -46,6 +58,7 @@ from dataclasses import dataclass, field
 from moca_spark.criteria.dsl import Work
 from moca_spark.functions.psl import effective_domain
 from moca_spark.functions.urls import canonicalize_str
+from moca_spark.functions.xxh64 import spark_xxhash64, state_key
 from moca_spark.sources.synth import url_id
 
 SEQ_WAVE_STRIDE = 1 << 32
@@ -111,15 +124,18 @@ def oracle_crawl(
     wave = 0
     while frontier and wave < max_waves:
         wave += 1
-        # --- wave slice: per host, (depth, seq, run_id, url) order, top B
-        by_host: dict[str, list] = {}
+        # --- wave slice: per politeness partition (= xxhash64 of the
+        #     selector output), (depth, seq, _key, run_id, url) order,
+        #     top B — the contract in the module docstring
+        by_grp: dict[int, list] = {}
         for (rid, url), (depth, seq) in frontier.items():
-            by_host.setdefault(part(url), []).append((depth, seq, rid, url))
+            by_grp.setdefault(spark_xxhash64(part(url)), []).append(
+                (depth, seq, state_key(rid, url), rid, url))
         sliced: list[tuple[str, int, str, str, int, int]] = []  # host,rank,rid,url,depth,seq
-        for host, items in by_host.items():
+        for _grp, items in by_grp.items():
             items.sort()
-            for rank, (depth, seq, rid, url) in enumerate(items[:budget], 1):
-                sliced.append((host, rank, rid, url, depth, seq))
+            for rank, (depth, seq, _k, rid, url) in enumerate(items[:budget], 1):
+                sliced.append((part(url), rank, rid, url, depth, seq))
                 del frontier[(rid, url)]
 
         # --- fetch in order; mark seen (incl. failures); record results

@@ -96,27 +96,44 @@ def apply_cuckoo_deltas(
 ) -> DataFrame:
     """Fold an ORDERED stack of ('add'|'del', keys) deltas into the
     shard table in one distributed groupBy — the LSM filter compaction
-    (engine._fold_filter). ``shards=None`` builds from scratch. Cost is
-    one rewrite of the shard table per fold, amortized over the waves
-    whose deltas are stacked; per-wave maintenance is just stacking the
-    (tiny) key frames."""
+    (engine._fold_filter). ``shards=None`` builds from scratch.
+
+    Only TOUCHED shards pass through the applyInPandas rewrite: the
+    delta key frames name their shard ids up front (a bounded collect,
+    <= n_shards values), so base shards that received no keys are
+    unioned through untouched — fold cost scales with touched shards,
+    not the shard-table size (at the 10^10 target the base is GBs of
+    filter blobs; a wave's deltas usually land in a fraction of the
+    shards). Per-wave maintenance is just stacking the (tiny) key
+    frames; the rewrite amortizes over the waves whose deltas are
+    stacked."""
     per_shard = max(n_expected // n_shards, 1)
-    rows = None
-    if shards is not None:
-        # k=0 sentinel (never read for bits rows): a NULL long would
-        # turn the pandas column float64 and silently truncate 64-bit
-        # keys to 53 bits of mantissa
-        rows = shards.select(
-            "shard", "bits", "ok",
-            F.lit(0).cast("long").alias("k"),
-            F.lit("bits").alias("kind"),
-            F.lit(-1).cast("long").alias("ord"),
-        )
+    drows = None
     for i, (kind, keys) in enumerate(deltas):
         d = _delta_rows(keys, key_col, n_shards, kind, ord_=i)
-        rows = d if rows is None else rows.unionByName(d)
-    return rows.groupBy("shard").applyInPandas(
+        drows = d if drows is None else drows.unionByName(d)
+    if shards is None:
+        return drows.groupBy("shard").applyInPandas(
+            _apply_group(per_shard), SHARD_SCHEMA)
+    # bounded: <= n_shards distinct values; the key frames are
+    # engine-checkpointed, so this scan is cheap and re-used below
+    touched = sorted(
+        r.shard for r in drows.select("shard").distinct().collect())
+    if not touched:
+        return shards
+    untouched = shards.filter(~F.col("shard").isin(touched))
+    # k=0 sentinel (never read for bits rows): a NULL long would
+    # turn the pandas column float64 and silently truncate 64-bit
+    # keys to 53 bits of mantissa
+    base_touched = shards.filter(F.col("shard").isin(touched)).select(
+        "shard", "bits", "ok",
+        F.lit(0).cast("long").alias("k"),
+        F.lit("bits").alias("kind"),
+        F.lit(-1).cast("long").alias("ord"),
+    )
+    folded = base_touched.unionByName(drows).groupBy("shard").applyInPandas(
         _apply_group(per_shard), SHARD_SCHEMA)
+    return untouched.unionByName(folded)
 
 
 def build_sharded_cuckoo(

@@ -22,16 +22,67 @@ top-K instead:
 
 Result is EXACTLY the unsalted top-K (phase 1 can never drop a row
 phase 2 would keep), with the skew broken. Ordering-sensitive work
-stays keyed by host; salting applies only inside the reduction — the
-pattern the north rule prescribes for hot-host skew.
+stays keyed by the politeness partition; salting applies only inside
+the reduction — the pattern the north rule prescribes for hot-host
+skew.
+
+De-stringed hot path (round-5): the windows partition on the 64-bit
+``xxhash64(host)`` (``HOST_KEY_MODE="hash64"``) and the order breaks
+remaining (depth, seq) ties on the frontier's 64-bit ``_key`` before
+(run_id, url), so the DRAM-bound rank sorts compare 8-byte longs
+essentially always — the host and url STRINGS are payload. Two
+contract consequences, both mirrored by crawl/oracle.py in lockstep:
+
+- the politeness partition IS the hash group: an xxhash64 collision
+  merges two hosts into one politeness bucket (they share a budget —
+  never LESS polite, and with ~10^8 hosts the chance of any colliding
+  pair is ~3e-4; the oracle groups by the same hash, so engine ==
+  oracle row-for-row even then);
+- slice ties break on (_key, run_id, url). _key is a deterministic
+  function of (run_id, url), so the order stays total and
+  deterministic; run_id/url REMAIN behind it, so a _key collision can
+  never make the order ambiguous. Frontiers without a _key column
+  (generic callers, q32's gate oracle) keep the plain (run_id, url)
+  tie-break — the DuckDB twin stays expressible.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ORDER_COLS = ["depth", "seq", "run_id", "url"]
+
+# Politeness partition key for the slice windows/exchange:
+#   "hash64" — xxhash64(host): numeric exchange hashing + numeric sort
+#       prefix (the host string is payload; see module docstring for
+#       the collision contract). Default.
+#   "string" — round-4 shape, windows on the host STRING. Control for
+#       tools/scaling_bench.py A/Bs.
+HOST_KEY_MODE = "hash64"
+
+
+def _order_cols(frontier: DataFrame) -> list[Column]:
+    """(depth, seq) then the tie-break: ``_key``-led when the frontier
+    carries the 64-bit state key (engine frontiers always do), so tie
+    comparisons — common, every multi-child expansion emits siblings
+    with identical (depth, seq) — resolve on one long instead of the
+    run_id/url strings."""
+    tie = (["_key", "run_id", "url"] if "_key" in frontier.columns
+           else ["run_id", "url"])
+    return [F.col(c) for c in ("depth", "seq", *tie)]
+
+
+def _partition_key(frontier: DataFrame, host_col: str) -> Column:
+    """The politeness-partition expression: the frontier's own 64-bit
+    ``host_key`` column when present (the engine carries it instead of
+    the host string), else xxhash64 of the host column, else — in
+    "string" control mode — the host column itself."""
+    if "host_key" in frontier.columns:
+        return F.col("host_key")
+    if HOST_KEY_MODE == "hash64":
+        return F.xxhash64(F.col(host_col))
+    return F.col(host_col)
 
 # How slice_split collapses duplicate (run, url) rows to their
 # min-(depth, seq) survivor inside the (host, salt) exchange. All
@@ -71,12 +122,16 @@ SLICE_DEDUP_MODE = "window_keyled"
 def top_k_per_host(
     frontier: DataFrame, k: int, n_salts: int = 16, host_col: str = "host"
 ) -> DataFrame:
-    """Top-``k`` rows per host by (depth, seq, run_id, url), with exact
-    per-host ``rank`` (1..k = politeness fetch order) — salted two-phase."""
-    order = [F.col(c) for c in ORDER_COLS]
+    """Top-``k`` rows per politeness partition by (depth, seq,
+    [_key,] run_id, url), with exact per-partition ``rank`` (1..k =
+    politeness fetch order) — salted two-phase. The partition key and
+    tie-break follow the module-docstring contract (hash-led by
+    default; exact string grouping under HOST_KEY_MODE="string")."""
+    order = _order_cols(frontier)
+    pkey = _partition_key(frontier, host_col)
     if n_salts > 1:
         salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
-        w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+        w1 = Window.partitionBy(pkey, salt).orderBy(*order)
         pre = (
             frontier.withColumn("_r1", F.row_number().over(w1))
             .filter(F.col("_r1") <= k)
@@ -84,7 +139,7 @@ def top_k_per_host(
         )
     else:
         pre = frontier
-    w2 = Window.partitionBy(host_col).orderBy(*order)
+    w2 = Window.partitionBy(pkey).orderBy(*order)
     return (
         pre.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -131,24 +186,44 @@ def slice_split(
     wave's single O(frontier) materialization (both returned frames
     filter it; without it the exchange would run once per consumer).
     """
-    order = [F.col(c) for c in ORDER_COLS]
+    order = _order_cols(frontier)
     # pmod(·, 1) == 0: degenerate salt keeps the plan shape uniform
     # (and non-literal — window partition specs reject bare literals)
     salt = F.pmod(F.xxhash64("url"), F.lit(max(n_salts, 1)))
-    rep = frontier.withColumn("_salt", salt) \
-        .repartition(F.col(host_col), F.col("_salt"))
+    rep = frontier.withColumn("_salt", salt)
+    # politeness group column for the exchange + windows: the
+    # frontier's own host_key when present; else a derived _hk column
+    # (hash64 mode) so the exchange hashes and the window sorts compare
+    # one long; else the host string (control mode)
+    added_hk = False
+    if "host_key" in frontier.columns:
+        gcol = "host_key"
+    elif HOST_KEY_MODE == "hash64":
+        rep = rep.withColumn("_hk", F.xxhash64(F.col(host_col)))
+        gcol, added_hk = "_hk", True
+    else:
+        gcol = host_col
+    rep = rep.repartition(F.col(gcol), F.col("_salt"))
     # dedup keys lead with _key when present (8-byte radix-friendly
     # compares before the url string — see SLICE_DEDUP_MODE)
     mode = SLICE_DEDUP_MODE
     keyed = ["_key"] if "_key" in frontier.columns else []
-    if mode == "window":  # round-3 control: host-string-led sort
-        dkeys = [host_col, "_salt"] + keyed + ["run_id", "url"]
+    if mode == "window":  # round-3 control: group-key-led sort
+        dkeys = [gcol, "_salt"] + keyed + ["run_id", "url"]
     else:
-        dkeys = keyed + ["run_id", "url", host_col, "_salt"]
-    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+        dkeys = keyed + ["run_id", "url", gcol, "_salt"]
+        if added_hk:
+            # _hk is a function of host: grouping by both = grouping by
+            # host, and it keeps the host payload column through the
+            # aggregate forms (without this the agg_ok guard would
+            # silently demote the sortagg/hashagg_packed A/B controls
+            # to the window branch in hash64 mode)
+            dkeys.append(host_col)
+    w1 = Window.partitionBy(gcol, "_salt").orderBy(*order)
     # the aggregate forms need every non-key column to be (depth, seq)
     # — payload columns would be dropped; fall back to the window
-    agg_ok = set(frontier.columns) | {"_salt"} == set(dkeys) | {"depth", "seq"}
+    agg_ok = (set(frontier.columns) | {"_salt"} | ({"_hk"} if added_hk else set())
+              == set(dkeys) | {"depth", "seq"})
     if mode == "hashagg_packed" and agg_ok:
         # (depth, seq) packed into ONE long: depth * 2^47 + seq. A
         # fixed-width long buffer makes min() HASH-aggregable
@@ -170,7 +245,7 @@ def slice_split(
         )
         ranked = (
             ded.withColumn("_r1", F.row_number().over(w1))
-            .drop("_salt")
+            .drop("_salt", "_hk")
             .localCheckpoint(eager=True)
         )
     elif mode == "sortagg" and agg_ok:
@@ -183,7 +258,7 @@ def slice_split(
         )
         ranked = (
             ded.withColumn("_r1", F.row_number().over(w1))
-            .drop("_salt")
+            .drop("_salt", "_hk")
             .localCheckpoint(eager=True)
         )
     else:
@@ -192,13 +267,17 @@ def slice_split(
             rep.withColumn("_rd", F.row_number().over(w_d))
             .filter(F.col("_rd") == 1)
             .withColumn("_r1", F.row_number().over(w1))
-            .drop("_rd", "_salt")
+            .drop("_rd", "_salt", "_hk")
             .localCheckpoint(eager=True)
         )
     # phase 2 — exact rank over <= n_salts*k survivors per host (the
     # phase-1 cutoff is over DEDUPED rows, so the two-phase proof in
     # the module docstring applies unchanged)
-    w2 = Window.partitionBy(host_col).orderBy(*order)
+    # the derived _hk is dropped before the checkpoint (rest feeds the
+    # next wave's frontier union — no payload growth); the tiny phase-2
+    # window re-derives the partition key over <= n_salts*k survivors
+    # per group
+    w2 = Window.partitionBy(_partition_key(ranked, host_col)).orderBy(*order)
     p2 = (
         ranked.filter(F.col("_r1") <= k).drop("_r1")
         .withColumn("rank", F.row_number().over(w2))

@@ -116,6 +116,35 @@ def test_diamond_min_depth(spark, tmp_path):
     assert [r["depth"] for r in d_fetches] == [2]
 
 
+def _recrawl_edges():
+    """The T8 diamond fixture: host B drains five TIED depth-1 pages
+    (identical (depth, seq)) one per wave, so its link to A/d at depth
+    2 lands only after host C's fast path fetched A/d at depth 3. The
+    ordering contract breaks slice ties on _key (crawl/oracle.py), so
+    the in-tie drain order is the key order — the A/d linker must be
+    the LAST-draining page, computed here rather than hard-coded (the
+    old fixture relied on the pre-round-5 url-string tie-break)."""
+    from moca_spark.functions.xxh64 import state_key
+
+    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
+    linker = max(range(1, 6), key=lambda i: state_key("w1", f"{B}/b{i}"))
+    # precondition: the linker drains at wave >= 5 (fast-path A/d
+    # fetch is wave 4), i.e. at least 3 of the 5 tied pages precede it
+    order = sorted(range(1, 6), key=lambda i: state_key("w1", f"{B}/b{i}"))
+    assert order.index(linker) >= 3
+    edges = (
+        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
+        + [
+            (f"{B}/b{linker}", f"{A}/d"),  # slow path: d at depth 2
+            (f"{B}/s", f"{C}/c1"),
+            (f"{C}/c1", f"{C}/c2"),
+            (f"{C}/c2", f"{A}/d"),  # fast path: d at depth 3
+            (f"{A}/d", f"{A}/e"),
+        ]
+    )
+    return edges, B, C, A
+
+
 def test_recrawl_on_smaller_depth(spark, tmp_path):
     """T8 / PgRunControlTest.scala:130-167: a URL crawled at depth 3 and
     later re-discovered at depth 2 is RE-crawled, and its subtree
@@ -124,17 +153,7 @@ def test_recrawl_on_smaller_depth(spark, tmp_path):
     Host B drains a long depth-1 queue (budget 1) and only reaches the
     page linking A/d at depth 2 AFTER host C's fast path already got
     A/d fetched at depth 3."""
-    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
-    edges = (
-        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
-        + [
-            (f"{B}/b5", f"{A}/d"),  # slow path: d at depth 2
-            (f"{B}/s", f"{C}/c1"),
-            (f"{C}/c1", f"{C}/c2"),
-            (f"{C}/c2", f"{A}/d"),  # fast path: d at depth 3
-            (f"{A}/d", f"{A}/e"),
-        ]
-    )
+    edges, B, C, A = _recrawl_edges()
     works = [W("w1", f"{B}/s", max_depth=3)]
     got, want = run_both(spark, tmp_path, works, edges, budget=1)
     assert_match(got, want)
@@ -333,13 +352,7 @@ def test_cuckoo_recrawl_deletes_and_parity(spark, tmp_path):
     """The re-crawl fixture under the cuckoo prefilter: the re-admitted
     URL's fingerprint is evicted (deletable semantics) and the crawl
     still matches the oracle row-for-row."""
-    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
-    edges = (
-        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
-        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
-           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
-           (f"{A}/d", f"{A}/e")]
-    )
+    edges, B, C, A = _recrawl_edges()
     works = [W("w1", f"{B}/s", max_depth=3)]
     got, want = run_both(spark, tmp_path, works, edges, budget=1,
                          use_bloom="cuckoo", bloom_capacity=10_000)
@@ -535,13 +548,7 @@ def test_verify_fetch_psnr_gate(spark, tmp_path):
 def test_final_links_getlinks_semantics(spark, tmp_path):
     """Entry point 3 (GetLinks): combined transfer keeps the LATEST
     fetch of a re-crawled URL; all fetched URLs present exactly once."""
-    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
-    edges = (
-        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
-        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
-           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
-           (f"{A}/d", f"{A}/e")]
-    )
+    edges, B, C, A = _recrawl_edges()
     works = [W("w1", f"{B}/s", max_depth=3)]
     eng, urls = make_engine(spark, tmp_path, works, edges, budget=1)
     res = eng.run()
@@ -601,17 +608,98 @@ def test_filter_lsm_fold_parity(spark, tmp_path):
         assert_match(got, want)
 
 
+def test_filter_delta_broadcast_bound_early_fold(spark, tmp_path):
+    """_probe_filter broadcasts the unfolded add-delta key stack, so
+    the engine enforces ``filter_delta_max_keys``: once the stacked key
+    count crosses it, _fold_filter fires early (mid-wave) instead of
+    waiting for the fold_every cadence. Forced here with a 0-key bound
+    and a cadence that would never fold during the run — a fold with a
+    non-empty stack must fire every wave, and parity holds in both
+    filter modes (round-4 verdict watch-item #2)."""
+    edges = zipf_graph(n_hosts=5, pages_per_host=5)
+    works = [W("w1", "http://host0.test/p0", max_depth=4)]
+    for mode in ("sharded", "cuckoo"):
+        eng, urls = make_engine(
+            spark, tmp_path / mode, works, edges, budget=2,
+            use_bloom=mode, bloom_capacity=10_000,
+            fold_every=10_000, filter_delta_max_keys=0)
+        stack_sizes = []
+        inner = eng._fold_filter
+
+        def fold(inner=inner, eng=eng, stack_sizes=stack_sizes):
+            stack_sizes.append(len(eng._filter_deltas))
+            inner()
+
+        eng._fold_filter = fold
+        got = eng.run()
+        want = oracle_crawl(works, edges, budget=2, corpus_urls=urls)
+        assert_match(got, want)
+        # the cadence (10k) alone would fold only at run end; the bound
+        # forces a non-empty fold per wave, keeping the stack bounded
+        assert sum(1 for n in stack_sizes if n) >= got.waves
+        assert eng._filter_delta_keys == 0
+
+
+def test_bucket_layout_validation_wrong_count(spark, tmp_path):
+    """corpus_buckets is correctness-bearing on the bucket-prune path
+    (round-4 ADVICE medium): a mis-declared count must disable pruning
+    with a warning and fall back to the correct-by-construction full
+    join — both when the declared count is SMALLER than the physical
+    one (parsed bucket ids out of range) and when it is LARGER (sampled
+    rows hash outside their file's bucket under the declared modulus)."""
+    from moca_spark.store.lakehouse import write_corpus_bucketed
+
+    urls = [f"http://host0.test/p{i}" for i in range(40)]
+    corpus_dir = str(tmp_path / "corpus")
+    images = write_corpus_bucketed(
+        spark, images_for_urls(spark, urls), corpus_dir, n_buckets=8)
+    sliced = spark.createDataFrame(
+        [("w1", u) for u in urls], "run_id string, url string")
+    for wrong in (4, 16):  # smaller / larger than the physical 8
+        eng = CrawlEngine(
+            spark, links_df(spark, [(urls[0], urls[1])]), images,
+            budget=8, checkpoint_dir=str(tmp_path / f"chk{wrong}"),
+            durable=False, fetch_prune=4, corpus_buckets=wrong)
+        with pytest.warns(UserWarning, match="bucket"):
+            pruned = eng._pruned_images(sliced)
+        assert eng._bucket_files() == {}  # pruning disabled, cached
+        assert pruned.count() == images.count()  # full-join fallback
+    # the CORRECT count passes validation and keeps the prune path
+    eng = CrawlEngine(
+        spark, links_df(spark, [(urls[0], urls[1])]), images,
+        budget=8, checkpoint_dir=str(tmp_path / "chk8"),
+        durable=False, fetch_prune=4, corpus_buckets=8)
+    assert set(eng._bucket_files()) == set(range(8))
+
+
+def test_unbucketed_big_slice_warns_once(spark, tmp_path):
+    """A slice past fetch_prune_threshold on an UNBUCKETED corpus falls
+    back to the full corpus join — correct but O(corpus) per wave — so
+    the engine warns, once, steering users to write_corpus_bucketed
+    (round-4 verdict missing #2)."""
+    import warnings
+
+    urls = [f"http://host0.test/p{i}" for i in range(8)]
+    images = images_for_urls(spark, urls)
+    eng = CrawlEngine(
+        spark, links_df(spark, [(urls[0], urls[1])]), images,
+        budget=8, checkpoint_dir=str(tmp_path / "chk"), durable=False,
+        fetch_prune=4)
+    sliced = spark.createDataFrame(
+        [("w1", u) for u in urls], "run_id string, url string")
+    with pytest.warns(UserWarning, match="UNBUCKETED"):
+        assert eng._pruned_images(sliced).count() == images.count()
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        eng._pruned_images(sliced).count()
+    assert not [w for w in seen if "UNBUCKETED" in str(w.message)]
+
+
 def test_eventlog_mode_parity(spark, tmp_path):
     """durable='eventlog' (append-only journal + reconstruction — the
     O(delta)-write layout) must match the oracle exactly, including
     the re-crawl case which stresses the depth-decreasing invariant."""
-    B, C, A = "http://siteb.test", "http://sitec.test", "http://sitea.test"
-    edges = (
-        [(f"{B}/s", f"{B}/b{i}") for i in range(1, 6)]
-        + [(f"{B}/b5", f"{A}/d"), (f"{B}/s", f"{C}/c1"),
-           (f"{C}/c1", f"{C}/c2"), (f"{C}/c2", f"{A}/d"),
-           (f"{A}/d", f"{A}/e")]
-    )
+    edges, B, C, A = _recrawl_edges()
     works = [W("w1", f"{B}/s", max_depth=3)]
     got, want = run_both(spark, tmp_path, works, edges, budget=1,
                          durable="eventlog")

@@ -172,6 +172,46 @@ def test_sharded_cuckoo_build_probe_update(spark):
     assert time.time() - t0 < 30  # one distributed job, not a driver loop
 
 
+def test_sharded_cuckoo_fold_touches_only_delta_shards(spark):
+    """apply_cuckoo_deltas rewrites ONLY the shards the deltas touch:
+    untouched base rows pass through byte-identical (no pandas
+    re-serialization), an empty delta frame touches nothing, and
+    membership holds for base + delta keys after the split fold."""
+    from pyspark.sql import functions as F
+
+    from moca_spark.filters.sharded_cuckoo import (
+        apply_cuckoo_deltas,
+        build_sharded_cuckoo,
+        probe_sharded_cuckoo,
+    )
+
+    # raw ids as keys: every shard 0..7 deterministically populated
+    base_keys = spark.range(0, 800, 1, 4).select(F.col("id").alias("k"))
+    base = build_sharded_cuckoo(base_keys, "k", n_shards=8, n_expected=4000) \
+        .localCheckpoint(eager=True)
+    base_bits = {r.shard: bytes(r.bits) for r in base.collect()}
+    assert set(base_bits) == set(range(8))
+
+    # delta lands in exactly shard 3 (pmod(k, 8) == 3)
+    delta = spark.range(0, 50).select((F.col("id") * 8 + 1003 * 8 + 3).alias("k"))
+    folded = apply_cuckoo_deltas(base, [("add", delta)], "k", 8, 4000)
+    out_bits = {r.shard: bytes(r.bits) for r in folded.collect()}
+    assert set(out_bits) == set(range(8))
+    assert out_bits[3] != base_bits[3]
+    for s in range(8):
+        if s != 3:
+            assert out_bits[s] == base_bits[s]  # untouched: byte-identical
+
+    probed = probe_sharded_cuckoo(
+        base_keys.unionByName(delta), "k", folded, n_shards=8).collect()
+    assert all(r._maybe_seen for r in probed)  # no false negatives
+
+    # empty delta frame: empty touched set, base returned unchanged
+    same = apply_cuckoo_deltas(
+        base, [("del", delta.filter(F.lit(False)))], "k", 8, 4000)
+    assert {r.shard: bytes(r.bits) for r in same.collect()} == base_bits
+
+
 def test_sharded_cuckoo_saturated_shard_degrades_to_exact(spark):
     """An overflowing shard flips ok=false and its probes return
     maybe-seen for EVERYTHING (exact join decides) — PASS-only holds

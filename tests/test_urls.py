@@ -190,3 +190,30 @@ def test_canonicalize_idempotent_on_urlish_inputs():
             assert again == out, (s, out, again)
 
     check()
+
+
+def test_python_xxh64_matches_spark(spark):
+    """functions/xxh64.spark_xxhash64 must be BIT-IDENTICAL to the
+    JVM's F.xxhash64 on strings — the ordering contract breaks slice
+    ties on _key = xxhash64(run_id || '\\x00' || url), and the oracle
+    computes it driver-side with this pure-Python twin. Covers every
+    tail length (0..40 bytes spans the 32-byte block + 8/4/1-byte
+    tails), multi-byte UTF-8, and the engine's state_key shape."""
+    from moca_spark.functions.xxh64 import spark_xxhash64, state_key
+
+    samples = [
+        "", "a", "ab", "abc", "abcd", "abcde",
+        *("x" * n for n in range(1, 41)),
+        "http://host0.test/p0", "https://sub.fazenda.gov.br/doc",
+        "nação-çédille-日本語-🚀", "w1\x00http://host3.test/p7",
+        *(f"http://host{i}.test/page/{i * 7919}" for i in range(20)),
+    ]
+    jvm = spark.createDataFrame([(s,) for s in samples], ["s"]) \
+        .select("s", F.xxhash64("s").alias("h")).collect()
+    for r in jvm:
+        assert spark_xxhash64(r.s) == r.h, r.s
+    # the state-key composition matches engine._seen_key()
+    k = spark.createDataFrame([("w1", "http://host3.test/p7")], ["r", "u"]) \
+        .select(F.xxhash64(F.concat_ws("\x00", "r", "u")).alias("k")) \
+        .first().k
+    assert state_key("w1", "http://host3.test/p7") == k

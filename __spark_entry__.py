@@ -620,6 +620,39 @@ def _q32_lsm_slice_split(spark, sf_dir):
     ))
 
 
+def _q33_js_links(spark, sf_dir):
+    """R8 (criteria/js.py): the JS link-generator criteria EXECUTED end
+    to end — per-doc HTML built deterministically from the documents
+    table, the 'mini' executor evaluates
+    ``[...document.querySelectorAll('a[href]')].map(a => a.href)``, and
+    each slot is stringified + resolved against the doc's rendered URL
+    with unresolvable slots (mailto:) dropped, per the reference
+    contract (JavaScriptCriteria.scala:15-21). The oracle computes the
+    same resolved links by direct string algebra — fully independent of
+    the HTML parser, selector engine and resolver under test."""
+    from moca_spark.criteria.js import make_js_links_udf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit('<html><body><a href="/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.html">self</a><a class="ext" href="https://mirror.test/d/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">m</a><a href="mailto:x@y.z">mail</a><img src="/img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('.png"></body></html>'),
+    )
+    base = F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example.com/dir/index.html"))
+    udf = make_js_links_udf(
+        "[...document.querySelectorAll('a[href]')].map(a => a.href)")
+    return (
+        d.select("doc_id", udf(html, base).alias("links"))
+        .select("doc_id", F.posexplode("links").alias("pos", "link"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "link")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_wave_slice_topk": _q01_wave_slice_topk,
@@ -654,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_connected_components": _q30_connected_components,
         "q31_ivf_topk": _q31_ivf_topk,
         "q32_lsm_slice_split": _q32_lsm_slice_split,
+        "q33_js_links": _q33_js_links,
     }
 
 
@@ -1074,6 +1108,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, url, depth, seq, CAST(0 AS BIGINT) AS "rank",
                'rest' AS part
         FROM ranked WHERE rnk > 3
+    """
+    sql["q33_js_links"] = """
+        SELECT doc_id, 0 AS pos,
+               'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 || '.html' AS link
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id, 1 AS pos,
+               'https://mirror.test/d/' || CAST(doc_id % 7 AS VARCHAR) AS link
+        FROM documents WHERE doc_id < 200
     """
     return sql
 

@@ -7,8 +7,12 @@ the same PSL *algorithm* (longest matching rule; ``*.`` wildcards;
 ``!`` exceptions; unknown TLDs fall back to the last label) over an
 embedded snapshot of common suffixes. The snapshot is deliberately
 small — enough for the reference's own test cases (``gov.br``) and any
-synthetic fixture hosts — and trivially swappable for the full list in
-production (drop the full ``public_suffix_list.dat`` next to this file).
+synthetic fixture hosts. Since round 5 the FULL Mozilla list ships as
+``public_suffix_list.dat`` next to this file (read via
+importlib.resources so it resolves both from a source tree and from
+the ``--py-files`` zip on executors — session.ship_package includes
+``.dat``); the embedded subset remains the fallback if the file is
+removed.
 
 Pure Python, driver- and executor-safe, used inside the vectorized
 ``domain`` pandas UDF (functions/urls.py).
@@ -53,17 +57,35 @@ cloudfront.net amazonaws.com s3.amazonaws.com azurewebsites.net
 """.split()
 
 
+def _read_full_list() -> str | None:
+    """The full Mozilla list, from the source tree OR the --py-files
+    zip (importlib.resources goes through the package loader, which
+    zipimport implements); None if the file was removed."""
+    try:
+        from importlib import resources
+
+        ref = resources.files(__package__).joinpath("public_suffix_list.dat")
+        if ref.is_file():
+            return ref.read_text(encoding="utf-8")
+    except Exception:
+        pass
+    full = os.path.join(os.path.dirname(__file__), "public_suffix_list.dat")
+    if os.path.exists(full):
+        with open(full, encoding="utf-8") as f:
+            return f.read()
+    return None
+
+
 @lru_cache(maxsize=1)
 def _load_rules() -> tuple[set[str], set[str], set[str]]:
     """Return (exact_rules, wildcard_bases, exception_rules)."""
     rules = list(_EMBEDDED_RULES)
-    full = os.path.join(os.path.dirname(__file__), "public_suffix_list.dat")
-    if os.path.exists(full):  # production override: full Mozilla list
-        with open(full, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if line and not line.startswith("//"):
-                    rules.append(line)
+    full_text = _read_full_list()
+    if full_text is not None:
+        for line in full_text.splitlines():
+            line = line.strip()
+            if line and not line.startswith("//"):
+                rules.append(line)
     exact, wildcard, exception = set(), set(), set()
     for r in rules:
         if r.startswith("!"):

@@ -38,7 +38,10 @@ def ship_package(spark: SparkSession) -> str:
     with zipfile.ZipFile(z, "w") as f:
         for dirpath, _dirs, files in os.walk(pkg_dir):
             for fn in files:
-                if fn.endswith(".py"):
+                # .dat: the full public-suffix list (functions/psl.py
+                # reads it via importlib.resources, which resolves
+                # inside the zip on executors)
+                if fn.endswith((".py", ".dat")):
                     p = os.path.join(dirpath, fn)
                     f.write(p, os.path.relpath(p, root))
     spark.sparkContext.addPyFile(z)

@@ -88,6 +88,23 @@ def test_psl_wildcard_and_exception():
     assert effective_domain("a.b.blogspot.com") == "b.blogspot.com"
 
 
+def test_psl_full_list_shipped():
+    """Round 5 ships the full Mozilla list next to psl.py (the
+    production override psl.py:60 documents); these entries are NOT in
+    the embedded subset, so they pin that the full list is loaded."""
+    import os
+
+    import moca_spark.functions.psl as psl
+
+    assert os.path.exists(os.path.join(
+        os.path.dirname(psl.__file__), "public_suffix_list.dat"))
+    assert public_suffix("x.y.kawasaki.jp") == "y.kawasaki.jp"  # *.kawasaki.jp
+    assert effective_domain("city.kawasaki.jp") == "city.kawasaki.jp"  # !city
+    assert public_suffix("d.v1.compute.amazonaws.com") \
+        == "v1.compute.amazonaws.com"
+    assert effective_domain("www.fazenda.gov.br") == "fazenda.gov.br"
+
+
 def test_fast_path_matches_slow_path():
     urls = [
         "http://www.example.com/test",

@@ -43,14 +43,17 @@ def measure(workers: int, units: int, reps: int = 3) -> float:
 
 def main() -> None:
     units = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    t8 = measure(8, units)
-    t32 = measure(32, units)
+    # optional worker pair (default 8->32), e.g. `cpu_control.py 2000000 4 16`
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
+    t8 = measure(lo, units)
+    t32 = measure(hi, units)
     speedup = t8 / t32
-    eff = speedup / 4.0
+    eff = speedup / (hi / lo)
     print(json.dumps({
-        "t_8workers_sec": round(t8, 2),
-        "t_32workers_sec": round(t32, 2),
-        "speedup_8_to_32": round(speedup, 3),
+        f"t_{lo}workers_sec": round(t8, 2),
+        f"t_{hi}workers_sec": round(t32, 2),
+        f"speedup_{lo}_to_{hi}": round(speedup, 3),
         "ceiling_efficiency": round(eff, 3),
     }))
 

@@ -20,6 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from moca_spark.functions.urls import url_host
 from moca_spark.operators.wave import top_k_per_host
 from moca_spark.sources.synth import scale_frontier
 
@@ -77,6 +78,12 @@ def frontier_schedule_dedup(
         scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1)
         .withColumn("run_id", F.lit("bench"))
     )
+    if mode == "lsm":
+        # engine hot-loop schema (round 5, engine._trim_frontier): the
+        # frontier carries the 64-bit politeness key, not the host
+        # string; the string is re-derived on the budget-bounded slice
+        frontier = frontier.withColumn(
+            "host_key", F.xxhash64("host")).drop("host")
     # seen = half the candidate id space -> ~50% dedup hit rate
     seen = _with_key(
         scale_frontier(spark, n_candidates // 2, n_hosts, partitions, seed=2)
@@ -120,17 +127,21 @@ def frontier_schedule_dedup(
         .sortWithinPartitions(*STATE_KEYS)
         .localCheckpoint(eager=True)
     )
+    hcol = "host_key" if mode == "lsm" else "host"
+    if mode == "lsm":
+        fresh_prev = fresh_prev.withColumn(
+            "host_key", F.xxhash64("host")).drop("host")
     fr_dedup = (
         frontier.groupBy(*STATE_KEYS)
         .agg(F.min(F.struct("depth", "seq")).alias("m"),
-             F.first("host").alias("host"))
-        .select("_key", "run_id", "url", "host",
+             F.first(hcol).alias(hcol))
+        .select("_key", "run_id", "url", hcol,
                 F.col("m.depth").alias("depth"), F.col("m.seq").alias("seq"))
     )
     if mode == "lsm":
         fr_state = fr_dedup.localCheckpoint(eager=True).unionByName(
             fresh_prev.select(
-                "_key", "run_id", "url", "host", "depth", "seq")
+                "_key", "run_id", "url", "host_key", "depth", "seq")
             .localCheckpoint(eager=True)
         )
     else:
@@ -146,7 +157,10 @@ def frontier_schedule_dedup(
         from moca_spark.operators.wave import slice_split
 
         sliced, rest = slice_split(fr_state, budget, n_salts=16)
-        sliced = sliced.cache()
+        # engine._rehost: the trimmed hot loop re-derives the host
+        # string on the budget-bounded slice (fetch wants it) — timed,
+        # it is part of the wave's real work
+        sliced = sliced.withColumn("host", url_host(F.col("url"))).cache()
     else:
         sliced = top_k_per_host(fr_state, budget, n_salts=16).cache()
     _force(sliced)
@@ -169,7 +183,11 @@ def frontier_schedule_dedup(
             cand2.join(base, STATE_KEYS, "left")
             .filter(F.col("best_depth").isNull() |
                     (F.col("depth") < F.col("best_depth")))
-            .select("_key", "run_id", "url", "host", "depth",
+            .select("_key", "run_id", "url",
+                    # engine fresh_cols: lsm admits carry the hash only
+                    (F.xxhash64("host").alias("host_key")
+                     if mode == "lsm" else F.col("host")),
+                    "depth",
                     (F.lit(1 << 32) + F.col("parent_rank")).alias("seq"))
         )
         # MERGE — engine code in both modes (shared so the kernel

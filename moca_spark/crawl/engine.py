@@ -391,6 +391,35 @@ class CrawlEngine:
             added += 1
         return added
 
+    def _trim_frontier(self, frontier: DataFrame) -> DataFrame:
+        """LSM hot-loop schema (round 5): demote the host STRING out of
+        the per-wave frontier payload, carrying the 64-bit politeness
+        key ``host_key = xxhash64(host)`` instead. The string rode the
+        (host_key, salt) exchange, both rank-window sorts, the ranked
+        checkpoint and the rest∪fresh union purely as payload — ~20% of
+        the UnsafeRow bytes — since the partition key is already its
+        hash (operators/wave.py HOST_KEY_MODE) and ``host`` is a
+        deterministic function of url (``partition_selector``), so it
+        is re-derived on the budget-bounded slice (``_rehost``) and at
+        run-end/journal boundaries only. Same-JVM interleaved A/B
+        (tools/payload_ab.py, 8M rows): +9% at local[8], and at
+        local[32] the schedule stage dropped 11.3→4.8 s — the wider
+        rows were crossing the per-task execution-memory threshold
+        under 32-way concurrency. Stored schemas are unchanged: the
+        journal, snapshots and CrawlResult still carry ``host``."""
+        if "host_key" in frontier.columns:
+            return frontier
+        return (frontier
+                .withColumn("host_key", F.xxhash64(F.col("host")))
+                .drop("host"))
+
+    def _rehost(self, df: DataFrame, drop_key: bool = False) -> DataFrame:
+        """Re-derive the host string of a trimmed frame from its url
+        (host ≡ partition_selector(url) for every frontier row — both
+        creation sites compute exactly that)."""
+        out = df.withColumn("host", self.partition_selector(F.col("url")))
+        return out.drop("host_key") if drop_key else out
+
     def _runs_df(self) -> DataFrame:
         return self.spark.createDataFrame(
             self.runs,
@@ -489,6 +518,11 @@ class CrawlEngine:
             else:
                 frontier = frontier.localCheckpoint(eager=True)
                 seen = seen.localCheckpoint(eager=True)
+        if self._frontier_lsm:
+            # hot-loop schema: host string -> 64-bit host_key (see
+            # _trim_frontier); boundaries above (journal, snapshots,
+            # resume loads) all carry the string schema
+            frontier = self._trim_frontier(frontier)
         self._seen_base, self._seen_deltas = seen, []
 
         runs_b = F.broadcast(self._runs_df())
@@ -509,13 +543,15 @@ class CrawlEngine:
                     and wave % self.compact_every == 0):
                 self.store.compact(wave)
                 frontier, seen = self._reconstruct()
+                frontier = self._trim_frontier(frontier)
                 self._seen_base, self._seen_deltas = seen, []
 
         seen = self._fold_seen()
         if self._frontier_lsm:
             # compact the one-fresh-layer-deep LSM view down to the
-            # merged contract shape callers (and the oracle) see
-            frontier = fold_frontier(frontier)
+            # merged contract shape callers (and the oracle) see —
+            # re-deriving the host string the hot loop dropped
+            frontier = fold_frontier(self._rehost(frontier, drop_key=True))
         if self.durable:
             results, metrics = self.store.all_results(), self.store.all_metrics()
         else:
@@ -997,7 +1033,11 @@ class CrawlEngine:
             # dedup + slice + split in the slice's own exchange; rest
             # is a filter over the checkpointed ranked split point
             sliced, rest = slice_split(frontier, self.budget, self.n_salts)
-            sliced = sliced.cache()
+            # the hot loop dropped the host string (_trim_frontier);
+            # everything downstream of the slice (fetch politeness
+            # groups, results/events schemas, metrics) wants it — re-
+            # derive on the budget-bounded slice only
+            sliced = self._rehost(sliced).cache()
         else:
             sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
             # frontier is hash-partitioned+sorted by STATE_KEYS from the
@@ -1151,7 +1191,13 @@ class CrawlEngine:
         )
         fresh_cols = [
             "_key", "run_id", "url",
-            self.partition_selector(F.col("url")).alias("host"),
+            # lsm hot loop carries the politeness hash only; the value
+            # is identical to xxhash64 of the host column the merged
+            # path carries (host ≡ partition_selector(url))
+            (F.xxhash64(self.partition_selector(F.col("url")))
+             .alias("host_key")
+             if self._frontier_lsm
+             else self.partition_selector(F.col("url")).alias("host")),
             "depth",
             (F.lit(wave * SEQ_WAVE_STRIDE) + F.col("parent_rank")).alias("seq"),
         ]
@@ -1252,7 +1298,11 @@ class CrawlEngine:
                 "run_id", "url", "host", "depth", "seq",
                 F.lit("consume").alias("kind"), F.lit(wave).alias("wave"),
             ).unionByName(
-                fresh.select(
+                # the journal schema keeps the host string (cross-
+                # version replay); fresh is trimmed in lsm mode —
+                # re-derive on the O(delta) add rows at append time
+                (self._rehost(fresh, drop_key=True)
+                 if self._frontier_lsm else fresh).select(
                     "run_id", "url", "host", "depth", "seq",
                     F.lit("add").alias("kind"), F.lit(wave).alias("wave"),
                 )

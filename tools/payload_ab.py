@@ -22,9 +22,11 @@ median-of-reps — the round-4/5 A/B discipline):
   the cost the engine would actually pay to feed the fetch stage), and
   the candidate/fresh side likewise carries host_key only.
 
-A win here justifies the engine-schema change (frontier stores
-host_key; host derived at the consumers); a wash gets documented and
-rejected like slice_dedup_ab's aggregate modes.
+OUTCOME (round 5): trim won decisively — 1.093x at local[8], 2.064x at
+local[32] (schedule stage 11.3->4.8 s; the wider carry rows crossed the
+per-task execution-memory threshold under 32-way concurrency) — and is
+now the ENGINE DEFAULT (engine._trim_frontier/_rehost). ``carry``
+remains here as the round-4-shape control for reproduction.
 
 Usage: python tools/payload_ab.py [n_frontier] [reps] [cores ...]
        (defaults: 8_000_000 3 8 32; idle box only)

@@ -77,14 +77,24 @@ def default_heap_gb(cores: int) -> int:
 def run(cores: int, n: int, reps: int = 3, mode: str = "lsm") -> dict:
     env = dict(os.environ, MOCA_DRIVER_MEM=os.environ.get(
         "MOCA_DRIVER_MEM", f"{default_heap_gb(cores)}g"))
+    # co-tenant exposure per leg: the 1-min load average before and
+    # after the child JVM. Our own leg contributes <= cores to it, so
+    # load1 >> cores is DIRECT evidence of a co-tenant burst inside
+    # this leg's window — the round-5 session-6 signature (healthy
+    # instantaneous pure-CPU ceilings, wrecked 32-thread Spark legs)
+    # is only classifiable with this recorded.
+    load_pre = os.getloadavg()[0]
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), str(n),
          str(reps), mode],
         capture_output=True, text=True, timeout=2400, env=env,
     )
+    load_post = os.getloadavg()[0]
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[7:])
+            r = json.loads(line[7:])
+            r["load1_pre_post"] = [round(load_pre, 1), round(load_post, 1)]
+            return r
     raise RuntimeError(f"no result from local[{cores}]:\n{out.stderr[-2000:]}")
 
 
@@ -136,6 +146,8 @@ def main() -> None:
     r8, r32 = med(runs8), med(runs32)
     r8["all_thr"] = [r["urls_per_sec"] for r in runs8]
     r32["all_thr"] = [r["urls_per_sec"] for r in runs32]
+    loads = {f"local{lo}": [r.get("load1_pre_post") for r in runs8],
+             f"local{hi}": [r.get("load1_pre_post") for r in runs32]}
     thr8, thr32 = r8["urls_per_sec"], r32["urls_per_sec"]
     ratio = hi / lo
     eff = (thr32 / thr8) / ratio
@@ -187,6 +199,10 @@ measured before/after the pairs): {ceil} — normalized efficiency
 = {eff:.3f} / ceiling. Merge-mode control pairs (same session):
 {('eff = ' + str(ctl_eff)) if ctl_eff is not None else 'not run'}.
 
+Per-leg 1-min load averages [pre, post] (our leg contributes <= its
+core count; load >> cores = co-tenant burst DURING that leg):
+{json.dumps(loads)}
+
 Notes
 - Single-box caveat: both parallelism levels share one JVM heap, one
   memory-bandwidth domain and one SSD. A real 4N-executor cluster adds
@@ -205,7 +221,8 @@ Notes
            "cores": [lo, hi],
            "efficiency": round(eff, 3), "n": n,
            "ceiling_pre": ceil[0], "ceiling_post": ceil[1],
-           "all8": r8["all_thr"], "all32": r32["all_thr"]}
+           "all8": r8["all_thr"], "all32": r32["all_thr"],
+           "loads": loads}
     if ctl_eff is not None:
         out["merge_control_eff"] = ctl_eff
         out["merge_all8"] = [r["urls_per_sec"] for r in ctl8]

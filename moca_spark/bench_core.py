@@ -74,22 +74,29 @@ def frontier_schedule_dedup(
     the cluster-faithful shape. State prep (the fold result carried
     from previous waves) is untimed; its per-wave amortized cost is
     measured by timing one real fold and dividing by fold_every."""
-    frontier = _with_key(
+    # engine hot-loop schema (round 5, engine._trim_frontier/
+    # _trim_runids): in lsm mode rows carry the 64-bit politeness key
+    # instead of the host string AND the dense run ordinal instead of
+    # the run_id string (the _key is still computed from the STRING —
+    # the engine computes it at creation sites where the string
+    # exists); both strings are re-derived on the budget-bounded slice
+    def _trim(df):
+        if mode != "lsm":
+            return df
+        if "host" in df.columns:
+            df = df.withColumn("host_key", F.xxhash64("host")).drop("host")
+        return df.withColumn("run_id", F.lit(0))
+
+    frontier = _trim(_with_key(
         scale_frontier(spark, n_frontier, n_hosts, partitions, seed=1)
         .withColumn("run_id", F.lit("bench"))
-    )
-    if mode == "lsm":
-        # engine hot-loop schema (round 5, engine._trim_frontier): the
-        # frontier carries the 64-bit politeness key, not the host
-        # string; the string is re-derived on the budget-bounded slice
-        frontier = frontier.withColumn(
-            "host_key", F.xxhash64("host")).drop("host")
+    ))
     # seen = half the candidate id space -> ~50% dedup hit rate
-    seen = _with_key(
+    seen = _trim(_with_key(
         scale_frontier(spark, n_candidates // 2, n_hosts, partitions, seed=2)
         .select("url", F.col("depth").alias("best_depth"))
         .withColumn("run_id", F.lit("bench"))
-    )
+    ))
     candidates = _with_key(
         scale_frontier(spark, n_candidates, n_hosts, partitions, seed=2)
         .select("url", "host", "depth",
@@ -99,11 +106,11 @@ def frontier_schedule_dedup(
     # steady-state fresh layer riding unmerged on the LSM frontier
     # (~admit ratio of a mid-crawl wave); not counted in `processed`
     # (conservative: the lsm kernel does MORE rows per reported URL)
-    fresh_prev = _with_key(
+    fresh_prev = _trim(_with_key(
         scale_frontier(spark, max(n_frontier // 8, 1), n_hosts, partitions,
                        seed=3)
         .withColumn("run_id", F.lit("bench"))
-    )
+    ))
     if materialize_dir:
         for name, df in (("frontier", frontier), ("seen", seen),
                          ("candidates", candidates),
@@ -128,9 +135,6 @@ def frontier_schedule_dedup(
         .localCheckpoint(eager=True)
     )
     hcol = "host_key" if mode == "lsm" else "host"
-    if mode == "lsm":
-        fresh_prev = fresh_prev.withColumn(
-            "host_key", F.xxhash64("host")).drop("host")
     fr_dedup = (
         frontier.groupBy(*STATE_KEYS)
         .agg(F.min(F.struct("depth", "seq")).alias("m"),
@@ -157,10 +161,15 @@ def frontier_schedule_dedup(
         from moca_spark.operators.wave import slice_split
 
         sliced, rest = slice_split(fr_state, budget, n_salts=16)
-        # engine._rehost: the trimmed hot loop re-derives the host
-        # string on the budget-bounded slice (fetch wants it) — timed,
-        # it is part of the wave's real work
-        sliced = sliced.withColumn("host", url_host(F.col("url"))).cache()
+        # engine._rehost/_rerun_id: the trimmed hot loop re-derives the
+        # host + run_id strings on the budget-bounded slice (fetch and
+        # the journal want them) — timed, part of the wave's real work
+        sliced = (
+            sliced.withColumn("host", url_host(F.col("url")))
+            .withColumn("run_str", F.element_at(
+                F.array(F.lit("bench")), F.col("run_id") + 1))
+            .cache()
+        )
     else:
         sliced = top_k_per_host(fr_state, budget, n_salts=16).cache()
     _force(sliced)
@@ -172,8 +181,13 @@ def frontier_schedule_dedup(
     spark.conf.set("spark.sql.adaptive.enabled",
                    "true" if dedup_aqe else "false")
     try:
+        # engine cand2 (trim mode): _key was computed from the STRING at
+        # creation; the consolidation groups by the ordinal — the run_id
+        # string never enters the exchange
+        cand_src = (candidates.withColumn("run_id", F.lit(0))
+                    if mode == "lsm" else candidates)
         cand2 = (
-            candidates.groupBy("_key", "run_id", "url", "host")
+            cand_src.groupBy("_key", "run_id", "url", "host")
             .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
             .select("_key", "run_id", "url", "host",
                     F.col("m.depth").alias("depth"),

@@ -192,6 +192,7 @@ class CrawlEngine:
         corpus_buckets: int = 0,
         frontier_lsm: bool | None = None,
         filter_delta_max_keys: int = 10_000_000,
+        runid_trim_max_runs: int = 4096,
     ):
         self.spark = spark
         self.images = images
@@ -277,6 +278,24 @@ class CrawlEngine:
         self._frontier_lsm = (
             durable is not True if frontier_lsm is None else bool(frontier_lsm)
         )
+        # run_id dictionary trim (round 5, after the host-string trim):
+        # run_id is tiny-cardinality (one per Work), so the lsm hot
+        # loop carries a dense int ordinal assigned in SORTED run_id
+        # order instead of the string. (run_ord, url) <-> (run_id, url)
+        # is a bijection within one run() execution, so exact-identity
+        # joins stay exact, and sorted assignment makes ORDER BY
+        # (depth, seq, _key, run_ord, url) the SAME total order as the
+        # ordering contract's (depth, seq, _key, run_id, url) — no
+        # oracle change needed. Strings are re-attached on the
+        # budget-bounded slice and at every boundary (journal,
+        # snapshots, CrawlResult), exactly like the host string.
+        # Same-JVM interleaved A/B (tools/runid_ab.py, 8M rows):
+        # trim/carry 1.12 at local[8], 1.25 at local[32]. Above
+        # ``runid_trim_max_runs`` the reverse-map array literal would
+        # bloat every plan — the trim disables itself (strings carried,
+        # still correct).
+        self.runid_trim_max_runs = runid_trim_max_runs
+        self._run_ords: list[str] | None = None
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
         # The frontier 'host' column IS the partition key; criteria
@@ -407,11 +426,11 @@ class CrawlEngine:
         rows were crossing the per-task execution-memory threshold
         under 32-way concurrency. Stored schemas are unchanged: the
         journal, snapshots and CrawlResult still carry ``host``."""
-        if "host_key" in frontier.columns:
-            return frontier
-        return (frontier
-                .withColumn("host_key", F.xxhash64(F.col("host")))
-                .drop("host"))
+        if "host_key" not in frontier.columns:
+            frontier = (frontier
+                        .withColumn("host_key", F.xxhash64(F.col("host")))
+                        .drop("host"))
+        return self._trim_runids(frontier)
 
     def _rehost(self, df: DataFrame, drop_key: bool = False) -> DataFrame:
         """Re-derive the host string of a trimmed frame from its url
@@ -419,6 +438,49 @@ class CrawlEngine:
         creation sites compute exactly that)."""
         out = df.withColumn("host", self.partition_selector(F.col("url")))
         return out.drop("host_key") if drop_key else out
+
+    def _trim_runids(self, df: DataFrame) -> DataFrame:
+        """run_id string -> dense int ordinal (sorted-run_id order; see
+        the constructor comment). Boundary-loaded state may only carry
+        run_ids the caller re-registered via add_works — the contract
+        every resume path already obeys (criteria come from self.runs)
+        — and this is enforced LOUDLY: an unknown run_id raises at scan
+        time instead of silently dropping rows."""
+        if self._run_ords is None or dict(df.dtypes).get("run_id") != "string":
+            return df
+        ords = self.spark.createDataFrame(
+            [(rid, i) for i, rid in enumerate(self._run_ords)],
+            "run_id string, _ord int",
+        )
+        return (
+            df.join(F.broadcast(ords), "run_id", "left")
+            .withColumn(
+                "_ord",
+                F.coalesce(
+                    F.col("_ord"),
+                    F.raise_error(F.concat(
+                        F.lit("state row carries a run_id absent from "
+                              "this engine's runs (re-add_works before "
+                              "resume): "), F.col("run_id"))).cast("int"),
+                ),
+            )
+            .drop("run_id")
+            .withColumnRenamed("_ord", "run_id")
+        )
+
+    def _rerun_id(self, df: DataFrame) -> DataFrame:
+        """Reverse of _trim_runids: re-attach the run_id STRING from
+        the carried ordinal (O(1) array index per row). The ordinal is
+        KEPT as ``_run_ord`` so ord-space projections (seen delta,
+        candidate consolidation) stay string-free; explicit-column
+        boundary selects never pick it up."""
+        if self._run_ords is None or dict(df.dtypes).get("run_id") == "string":
+            return df
+        arr = F.array(*[F.lit(r) for r in self._run_ords])
+        return (
+            df.withColumnRenamed("run_id", "_run_ord")
+            .withColumn("run_id", F.element_at(arr, F.col("_run_ord") + 1))
+        )
 
     def _runs_df(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -446,6 +508,8 @@ class CrawlEngine:
     def run(self, max_waves: int = 10_000, resume: bool = False) -> CrawlResult:
         from moca_spark.operators import wave as _wave_mod
 
+        self._run_ords = None  # (re)built below iff lsm mode; a stale
+        # dictionary from a previous run() must never leak into this one
         if self._frontier_lsm and _wave_mod.SLICE_DEDUP_MODE == "hashagg_packed":
             # the packed-long dedup is exact only for depth < 2^16 and
             # seq < 2^47 (seq = wave*2^32 + parent_rank ⇒ wave < 2^15)
@@ -519,10 +583,16 @@ class CrawlEngine:
                 frontier = frontier.localCheckpoint(eager=True)
                 seen = seen.localCheckpoint(eager=True)
         if self._frontier_lsm:
-            # hot-loop schema: host string -> 64-bit host_key (see
-            # _trim_frontier); boundaries above (journal, snapshots,
-            # resume loads) all carry the string schema
+            # hot-loop schema: host string -> 64-bit host_key, run_id
+            # string -> dense ordinal (see _trim_frontier/_trim_runids);
+            # boundaries above (journal, snapshots, resume loads) all
+            # carry the string schema
+            rids = sorted({r["run_id"] for r in self.runs})
+            self._run_ords = (
+                rids if len(rids) <= self.runid_trim_max_runs else None
+            )
             frontier = self._trim_frontier(frontier)
+            seen = self._trim_runids(seen)
         self._seen_base, self._seen_deltas = seen, []
 
         runs_b = F.broadcast(self._runs_df())
@@ -544,14 +614,17 @@ class CrawlEngine:
                 self.store.compact(wave)
                 frontier, seen = self._reconstruct()
                 frontier = self._trim_frontier(frontier)
-                self._seen_base, self._seen_deltas = seen, []
+                self._seen_base, self._seen_deltas = \
+                    self._trim_runids(seen), []
 
         seen = self._fold_seen()
         if self._frontier_lsm:
             # compact the one-fresh-layer-deep LSM view down to the
             # merged contract shape callers (and the oracle) see —
-            # re-deriving the host string the hot loop dropped
-            frontier = fold_frontier(self._rehost(frontier, drop_key=True))
+            # re-deriving the host + run_id strings the hot loop dropped
+            frontier = fold_frontier(self._rehost(
+                self._rerun_id(frontier).drop("_run_ord"), drop_key=True))
+            seen = self._rerun_id(seen).drop("_run_ord")
         if self.durable:
             results, metrics = self.store.all_results(), self.store.all_metrics()
         else:
@@ -1033,11 +1106,13 @@ class CrawlEngine:
             # dedup + slice + split in the slice's own exchange; rest
             # is a filter over the checkpointed ranked split point
             sliced, rest = slice_split(frontier, self.budget, self.n_salts)
-            # the hot loop dropped the host string (_trim_frontier);
-            # everything downstream of the slice (fetch politeness
-            # groups, results/events schemas, metrics) wants it — re-
-            # derive on the budget-bounded slice only
-            sliced = self._rehost(sliced).cache()
+            # the hot loop dropped the host + run_id strings
+            # (_trim_frontier); everything downstream of the slice
+            # (fetch politeness groups, results/events schemas,
+            # metrics) wants them — re-derive on the budget-bounded
+            # slice only (the ordinal rides along as _run_ord for the
+            # ord-space seen-delta projection below)
+            sliced = self._rehost(self._rerun_id(sliced)).cache()
         else:
             sliced = top_k_per_host(frontier, self.budget, self.n_salts).cache()
             # frontier is hash-partitioned+sorted by STATE_KEYS from the
@@ -1114,7 +1189,12 @@ class CrawlEngine:
         #    internally), so the delta's row count comes for free —
         #    it feeds the filter-delta broadcast bound below.
         seen_delta = sliced.select(
-            "_key", "run_id", "url", F.col("depth").alias("best_depth")
+            "_key",
+            # ord space when trimming: the delta folds into the
+            # ord-space seen base and feeds the STATE_KEYS admit join
+            (F.col("_run_ord").alias("run_id")
+             if "_run_ord" in sliced.columns else F.col("run_id")),
+            "url", F.col("depth").alias("best_depth")
         ).localCheckpoint(eager=False)
         n_delta = seen_delta.count()
         self._seen_deltas.append(seen_delta)
@@ -1154,6 +1234,11 @@ class CrawlEngine:
                 ).alias("src_domain"),
                 (F.col("depth") + 1).alias("depth"),
                 F.col("rank").alias("parent_rank"),
+                # ord passthrough (trim mode): candidates inherit the
+                # parent's run ordinal so the consolidation below needs
+                # no string keys and no extra mapping join
+                *([F.col("_run_ord")]
+                  if "_run_ord" in fetched.columns else []),
             )
         )
         links = self._pruned_links(parents)
@@ -1176,19 +1261,44 @@ class CrawlEngine:
         # the admit joins, frontier merge, the events append — reuses
         # this checkpoint instead of re-running expand+criteria (the
         # eventlog path used to compute the expansion twice).
-        cand2 = (
-            cand.groupBy("run_id", "dst_url", "dst_host")
-            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
-            .select(
-                "run_id",
-                F.col("dst_url").alias("url"),
-                F.col("dst_host").alias("host"),
-                F.col("m.depth").alias("depth"),
-                F.col("m.parent_rank").alias("parent_rank"),
+        if "_run_ord" in cand.columns:
+            # trim mode: the state key is computed BEFORE consolidation
+            # (it needs the run_id STRING, still present on cand rows)
+            # and the groupBy keys are (_key, run ordinal, dst) — the
+            # run_id string never enters the consolidation exchange,
+            # and cand2 comes out in ord space ready for the admit
+            # joins against the ord-space seen base. Grouping by
+            # (_run_ord, dst_url) is the same partition of rows as
+            # (run_id, dst_url): the ordinal <-> run_id map is a
+            # bijection; _key and dst_host are functions of the keys.
+            cand2 = (
+                cand.withColumn("_key", self._seen_key(url_col="dst_url"))
+                .groupBy("_key", "_run_ord", "dst_url", "dst_host")
+                .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+                .select(
+                    F.col("_run_ord").alias("run_id"),
+                    F.col("dst_url").alias("url"),
+                    F.col("dst_host").alias("host"),
+                    F.col("m.depth").alias("depth"),
+                    F.col("m.parent_rank").alias("parent_rank"),
+                    "_key",
+                )
+                .localCheckpoint(eager=True)
             )
-            .withColumn("_key", self._seen_key())
-            .localCheckpoint(eager=True)
-        )
+        else:
+            cand2 = (
+                cand.groupBy("run_id", "dst_url", "dst_host")
+                .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+                .select(
+                    "run_id",
+                    F.col("dst_url").alias("url"),
+                    F.col("dst_host").alias("host"),
+                    F.col("m.depth").alias("depth"),
+                    F.col("m.parent_rank").alias("parent_rank"),
+                )
+                .withColumn("_key", self._seen_key())
+                .localCheckpoint(eager=True)
+            )
         fresh_cols = [
             "_key", "run_id", "url",
             # lsm hot loop carries the politeness hash only; the value
@@ -1298,10 +1408,10 @@ class CrawlEngine:
                 "run_id", "url", "host", "depth", "seq",
                 F.lit("consume").alias("kind"), F.lit(wave).alias("wave"),
             ).unionByName(
-                # the journal schema keeps the host string (cross-
-                # version replay); fresh is trimmed in lsm mode —
-                # re-derive on the O(delta) add rows at append time
-                (self._rehost(fresh, drop_key=True)
+                # the journal schema keeps the host + run_id strings
+                # (cross-version replay); fresh is trimmed in lsm mode
+                # — re-derive on the O(delta) add rows at append time
+                (self._rehost(self._rerun_id(fresh), drop_key=True)
                  if self._frontier_lsm else fresh).select(
                     "run_id", "url", "host", "depth", "seq",
                     F.lit("add").alias("kind"), F.lit(wave).alias("wave"),

@@ -1053,3 +1053,72 @@ def test_resume_from_pre_round2_snapshot_without_key(spark, tmp_path):
     resumed = eng2.run(resume=True)
     want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
     assert_match(resumed, want)
+
+
+def test_runid_trim_unsorted_work_ids(spark, tmp_path):
+    """The run_id dictionary trim assigns ordinals in SORTED run_id
+    order so ORDER BY (..., run_ord, url) equals the contract's
+    (..., run_id, url) — pinned here with work ids whose insertion
+    order disagrees with their sort order, interleaving on one host
+    (budget 1 makes the tie-break order observable in crawl_order).
+    Boundary schemas must come back in string space."""
+    edges = chain_graph(n=5)
+    works = [  # insertion order zz, aa, mm — sort order aa, mm, zz
+        W("zz", "http://site0.test/0", max_depth=4),
+        W("aa", "http://site0.test/2", max_depth=4),
+        W("mm", "http://site0.test/1", max_depth=4),
+    ]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1)
+    assert_match(got, want)
+    # the hot loop ran in ord space; every boundary is string space
+    assert dict(got.frontier.dtypes).get("run_id") == "string"
+    assert dict(got.seen.dtypes).get("run_id") == "string"
+    assert dict(got.results.dtypes).get("run_id") == "string"
+
+
+def test_runid_trim_fallback_many_runs(spark, tmp_path):
+    """Above runid_trim_max_runs the trim disables itself (the
+    reverse-map literal would bloat every plan) and the hot loop
+    carries run_id strings — parity must hold on that path too."""
+    edges = chain_graph(n=4)
+    works = [
+        W("w1", "http://site0.test/0", max_depth=3),
+        W("w2", "http://site0.test/2", max_depth=3),
+    ]
+    got, want = run_both(spark, tmp_path, works, edges, budget=1,
+                         runid_trim_max_runs=0)
+    assert_match(got, want)
+
+
+def test_runid_trim_eventlog_journal_stays_string(spark, tmp_path):
+    """The journal is a cross-version boundary: add/consume events must
+    carry run_id STRINGS even though the hot loop runs in ord space
+    (a journal written in ord space would not replay on an engine with
+    a different runs list)."""
+    edges = chain_graph(n=4)
+    works = [W("w9", "http://site0.test/0", max_depth=3)]
+    eng, urls = make_engine(spark, tmp_path / "el", works, edges, budget=1,
+                            durable="eventlog")
+    got = eng.run()
+    log = eng.store.read_log()
+    assert dict(log.dtypes).get("run_id") == "string"
+    assert {r.run_id for r in log.select("run_id").distinct().collect()} \
+        == {"w9"}
+    want = oracle_crawl(works, edges, budget=1, corpus_urls=urls)
+    assert_match(got, want)
+
+
+def test_runid_trim_unknown_run_raises(spark, tmp_path):
+    """Loaded state carrying a run_id the caller did not re-register
+    must fail LOUDLY (raise_error in the trim join), not silently drop
+    rows: resume the journal under an engine with a different work."""
+    edges = chain_graph(n=5)
+    eng1, _ = make_engine(spark, tmp_path / "el",
+                          [W("orig", "http://site0.test/0", max_depth=4)],
+                          edges, budget=1, durable="eventlog")
+    eng1.run(max_waves=2)
+    eng2, _ = make_engine(spark, tmp_path / "el",
+                          [W("other", "http://site0.test/1", max_depth=4)],
+                          edges, budget=1, durable="eventlog")
+    with pytest.raises(Exception, match="absent from"):
+        eng2.run(resume=True)

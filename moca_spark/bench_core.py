@@ -160,7 +160,11 @@ def frontier_schedule_dedup(
     if mode == "lsm":
         from moca_spark.operators.wave import slice_split
 
-        sliced, rest = slice_split(fr_state, budget, n_salts=16)
+        # eager=False mirrors the engine (round 6): the split-point
+        # checkpoint materializes inside the first full-scan action on
+        # ``sliced`` (the forced schedule below / the engine's
+        # seen-delta count), not as a separate job
+        sliced, rest = slice_split(fr_state, budget, n_salts=16, eager=False)
         # engine._rehost/_rerun_id: the trimmed hot loop re-derives the
         # host + run_id strings on the budget-bounded slice (fetch and
         # the journal want them) — timed, part of the wave's real work
@@ -183,12 +187,19 @@ def frontier_schedule_dedup(
     try:
         # engine cand2 (trim mode): _key was computed from the STRING at
         # creation; the consolidation groups by the ordinal — the run_id
-        # string never enters the exchange
+        # string never enters the exchange. Round 6 (lockstep with
+        # engine._step): the groupBy keys are EXACTLY the state keys —
+        # host is a pure function of url and rides as first() — so the
+        # aggregate's output partitioning satisfies the admission
+        # join's clustering and its sort doubles as the join sort: the
+        # candidates cross ONE exchange between consolidation and
+        # admission instead of two.
         cand_src = (candidates.withColumn("run_id", F.lit(0))
                     if mode == "lsm" else candidates)
         cand2 = (
-            cand_src.groupBy("_key", "run_id", "url", "host")
-            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
+            cand_src.groupBy("_key", "run_id", "url")
+            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"),
+                 F.first("host").alias("host"))
             .select("_key", "run_id", "url", "host",
                     F.col("m.depth").alias("depth"),
                     F.col("m.parent_rank").alias("parent_rank"))

@@ -193,6 +193,8 @@ class CrawlEngine:
         frontier_lsm: bool | None = None,
         filter_delta_max_keys: int = 10_000_000,
         runid_trim_max_runs: int = 4096,
+        expand_broadcast_max: int = 200_000,
+        state_broadcast_max: int = 500_000,
     ):
         self.spark = spark
         self.images = images
@@ -295,6 +297,32 @@ class CrawlEngine:
         # bloat every plan — the trim disables itself (strings carried,
         # still correct).
         self.runid_trim_max_runs = runid_trim_max_runs
+        # expand_broadcast_max (round 6): a wave whose slice holds at
+        # most this many rows gets an EXPLICIT broadcast hint on the
+        # parent side of the expand join (the parent count is bounded
+        # by the slice count, which the wave measures exactly via the
+        # seen-delta checkpoint), and — on the plain exact-dedup path,
+        # where the consolidated candidates have a single consumer —
+        # the whole expand→consolidate→admit chain fuses into the one
+        # `fresh` materialization instead of paying a separate cand2
+        # checkpoint job. Default 200k rows ~ tens of MB broadcast.
+        # Bigger waves keep the AQE-planned checkpointed shape (runtime
+        # broadcast + skew-join handling).
+        self.expand_broadcast_max = expand_broadcast_max
+        # state_broadcast_max (round 6): the engine tracks an exact
+        # upper bound on the seen-state row count (Σ of the per-wave
+        # slice counts it already measures; None after a resume, where
+        # the loaded state's size is unknown). While the bound stays
+        # under this threshold the admission join BROADCASTS the seen
+        # base and delta stack (guide §3.1: hint what you can prove
+        # small) and the admit/fresh materialization keeps AQE —
+        # coalesced tiny stages instead of full-width AQE-off
+        # exchanges. Once the bound crosses (the 10^10 trajectory,
+        # immediately on any real crawl) the exchange-free sorted-base
+        # sort-merge path below is used unchanged. Row bound, not
+        # bytes: ~100 B/row ⇒ 500k rows ~ 50 MB broadcast.
+        self.state_broadcast_max = state_broadcast_max
+        self._state_rows_bound: int | None = 0
         self._run_ords: list[str] | None = None
         # U3 partition selector (partition/PartitionSelector.scala:6-16;
         # default = ByHostPartitionSelector): Column -> partition key.
@@ -520,6 +548,10 @@ class CrawlEngine:
         if resume and self.store.latest_wave() is not None:
             if not self.durable:
                 raise ValueError("resume requires durable=True or 'eventlog'")
+            # loaded state of unknown size: disable the small-state
+            # broadcast fast path (the sorted-base SMJ shape is always
+            # correct; see state_broadcast_max)
+            self._state_rows_bound = None
             start = self.store.latest_wave()
             if self.durable == "eventlog":
                 frontier, seen = self._reconstruct()
@@ -565,6 +597,7 @@ class CrawlEngine:
                 ).localCheckpoint(eager=True)
         else:
             start = 0
+            self._state_rows_bound = 0  # empty seen state
             frontier, seen = self._initial_state()
             if self.durable == "eventlog":
                 self.store.append_events(
@@ -609,11 +642,16 @@ class CrawlEngine:
         import time as _time
 
         while wave < max_waves:
-            if frontier.isEmpty():
+            _t0 = _time.monotonic()
+            # no per-wave isEmpty action: _step's own slice count (a
+            # job every wave pays anyway) doubles as the emptiness
+            # signal — it returns None on an exhausted frontier before
+            # committing anything (round 6, one fewer action per wave)
+            stepped = self._step(wave + 1, frontier, runs_b)
+            if stepped is None:
                 break
             wave += 1
-            _t0 = _time.monotonic()
-            frontier = self._step(wave, frontier, runs_b)
+            frontier = stepped
             self.wave_times.append(_time.monotonic() - _t0)
             if self.durable is True and self.keep_snapshots:
                 self.store.expire_snapshots(self.keep_snapshots)
@@ -621,11 +659,18 @@ class CrawlEngine:
                     and wave % self.compact_every == 0):
                 self.store.compact(wave)
                 frontier, seen = self._reconstruct()
-                frontier = self._trim_frontier(frontier)
-                seen_t = self._trim_runids(seen)
-                if seen_t is not seen:  # see run-start comment
-                    seen_t = self._materialize(seen_t, sort=True)
-                self._seen_base, self._seen_deltas = seen_t, []
+                if self._frontier_lsm:
+                    # mirror the run-start block: the trims apply only
+                    # in LSM mode — with frontier_lsm=False the non-LSM
+                    # _step path expects the string schema (round-5
+                    # advice: unguarded trims broke eventlog+
+                    # compact_every with the LSM explicitly disabled)
+                    frontier = self._trim_frontier(frontier)
+                    seen_t = self._trim_runids(seen)
+                    if seen_t is not seen:  # see run-start comment
+                        seen_t = self._materialize(seen_t, sort=True)
+                    seen = seen_t
+                self._seen_base, self._seen_deltas = seen, []
 
         seen = self._fold_seen()
         if self._frontier_lsm:
@@ -650,7 +695,8 @@ class CrawlEngine:
             out = out.unionByName(df)
         return out
 
-    def _materialize(self, df: DataFrame, sort: bool = False) -> DataFrame:
+    def _materialize(self, df: DataFrame, sort: bool = False,
+                     aqe_off: bool = True) -> DataFrame:
         """localCheckpoint planned with AQE OFF: under AQE the
         checkpointed LogicalRDD reports UnknownPartitioning (the
         AdaptiveSparkPlan hides the final plan's partitioning), so every
@@ -666,12 +712,20 @@ class CrawlEngine:
         SparkSession, the deployment shape of jobs/crawl_job.py). A
         concurrent query planned on the same session during the window
         would plan without AQE; run concurrent workloads on their own
-        SparkSession (``spark.newSession()``) if needed."""
+        SparkSession (``spark.newSession()``) if needed.
+
+        ``aqe_off=False`` (round 6) keeps AQE for checkpoints whose
+        partitioning claim nothing downstream needs — e.g. the admit
+        output while the seen state is small enough that its joins
+        broadcast (_small_state): AQE then coalesces the tiny stages
+        instead of running full-width exchanges."""
+        if sort:
+            df = df.sortWithinPartitions(*STATE_KEYS)
+        if not aqe_off:
+            return df.localCheckpoint(eager=True)
         aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            if sort:
-                df = df.sortWithinPartitions(*STATE_KEYS)
             return df.localCheckpoint(eager=True)
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -794,6 +848,13 @@ class CrawlEngine:
         self._seen_base, self._seen_deltas = folded, []
         return folded
 
+    def _small_state(self) -> bool:
+        """True while the seen state is PROVABLY tiny (see
+        state_broadcast_max): the admission joins may broadcast and the
+        admit materialization may keep AQE."""
+        return (self._state_rows_bound is not None
+                and self._state_rows_bound <= self.state_broadcast_max)
+
     def _admit_unseen(self, df: DataFrame, keep_flag: bool = False) -> DataFrame:
         """The J1/T8 admission rule over the base+delta seen state:
         keep rows never seen, or seen only at a strictly larger depth
@@ -801,11 +862,14 @@ class CrawlEngine:
         hash-partitioned AND sorted by STATE_KEYS from the fold, so it
         joins with no exchange and no sort — and one against the
         (small) delta stack. The base is never unioned or re-shuffled
-        per wave."""
-        out = df.join(
-            self._seen_base.withColumnRenamed("best_depth", "_bd_base"),
-            STATE_KEYS, "left",
-        )
+        per wave. While the whole state is provably small
+        (_small_state) both sides take an explicit broadcast hint
+        instead — same rows out, zero exchange and zero sort on the
+        candidate side."""
+        small = self._small_state()
+        base = self._seen_base.withColumnRenamed("best_depth", "_bd_base")
+        out = df.join(F.broadcast(base) if small else base,
+                      STATE_KEYS, "left")
         if self._seen_deltas:
             d = self._seen_deltas[0]
             for extra in self._seen_deltas[1:]:
@@ -813,7 +877,8 @@ class CrawlEngine:
             d_min = d.groupBy(*STATE_KEYS).agg(
                 F.min("best_depth").alias("_bd_delta")
             )
-            out = out.join(d_min, STATE_KEYS, "left")
+            out = out.join(F.broadcast(d_min) if small else d_min,
+                           STATE_KEYS, "left")
         else:
             out = out.withColumn("_bd_delta", F.lit(None).cast("int"))
         bd = F.least("_bd_base", "_bd_delta")
@@ -823,12 +888,29 @@ class CrawlEngine:
         return out.drop("_bd_base", "_bd_delta")
 
     def _checkpoint_increment(self, wave: int, name: str, df: DataFrame) -> DataFrame:
-        """Materialize a per-wave append table once; downstream reads
+        """Checkpoint a per-wave append table once; downstream reads
         (metrics derivation, final union) reuse the checkpoint instead
-        of recomputing the fetch join."""
+        of recomputing the fetch join. Memory mode checkpoints LAZILY
+        (round 6): nothing reads the increments until run end (or the
+        same-wave metrics derivation), so the per-wave materialization
+        job disappears — all increments materialize together in the
+        first action that touches them, each branch a narrow read over
+        its wave's already-checkpointed slice. Durable modes stay
+        eager by nature (the write IS the durability)."""
         if self.durable:
             return self.store.write_increment(wave, name, df)
-        c = df.localCheckpoint(eager=True)
+        # AQE-off planning makes the checkpoint ACTUALLY lazy: under
+        # AQE, toRdd materializes every intermediate query stage
+        # eagerly (getFinalPhysicalPlan), so even eager=False would run
+        # the increment's broadcast/shuffle stages per wave. The
+        # increment plans are projections over the wave's cached slice
+        # and a broadcast fetch join — nothing AQE helps with.
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            c = df.localCheckpoint(eager=False)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
         (self._results_acc if name == "results" else self._metrics_acc).append(c)
         return c
 
@@ -908,7 +990,8 @@ class CrawlEngine:
             )
         return links
 
-    def _pruned_images(self, sliced: DataFrame) -> DataFrame:
+    def _pruned_images(self, sliced: DataFrame,
+                       n_rows: int | None = None) -> DataFrame:
         """The corpus side of the fetch join, pruned to this wave's
         slice — per-wave fetch reads O(slice), independent of corpus
         size (the round-2 scale-killer: the old shape scanned the whole
@@ -947,6 +1030,25 @@ class CrawlEngine:
         if not self.fetch_prune_threshold:
             return self.images
         id_col = F.sha1(F.encode("url", "UTF-8")).alias("image_id")
+        if n_rows is not None and n_rows <= self.fetch_prune_threshold:
+            # round-6: the caller already knows the slice's exact row
+            # count (the seen-delta count the wave pays anyway), and it
+            # bounds the distinct-id count — so the id collect needs NO
+            # distinct exchange and NO limit machinery: one narrow scan
+            # of the cached slice, dedup on the driver (<= n_rows
+            # values). The distinct+limit path below remains for
+            # callers without a count (row count above the threshold
+            # can still mean few DISTINCT ids on multi-run slices).
+            if self.corpus_buckets:
+                rows = sliced.select(
+                    id_col,
+                    F.pmod(F.hash("image_id"), F.lit(self.corpus_buckets))
+                    .alias("_b"),
+                ).collect()
+                ids = [i for _, i in sorted({(r._b, r.image_id) for r in rows})]
+            else:
+                ids = sorted({r.image_id for r in sliced.select(id_col).collect()})
+            return self._images_for_ids(ids)
         if self.corpus_buckets:
             # bucket-aligned chunk order: consecutive chunks cover
             # consecutive buckets, so each branch's bucket pruning
@@ -967,8 +1069,6 @@ class CrawlEngine:
                 for r in sliced.select(id_col).distinct()
                 .limit(self.fetch_prune_threshold + 1).collect()
             })
-        if not ids:
-            return self.images
         if len(ids) > self.fetch_prune_threshold:
             if self.corpus_buckets:
                 return self._bucket_pruned_images(sliced)
@@ -986,6 +1086,15 @@ class CrawlEngine:
                     "buckets' files instead",
                     stacklevel=2,
                 )
+            return self.images
+        return self._images_for_ids(ids)
+
+    def _images_for_ids(self, ids: list[str]) -> DataFrame:
+        """The corpus pruned to a bounded, sorted id list (<=
+        fetch_prune_threshold ids; bucket-aligned order when
+        corpus_buckets is set) — the chunked pushed-In scan shape the
+        class docstring describes."""
+        if not ids:
             return self.images
         chunk = self.FETCH_PRUNE_CHUNK
         if len(ids) > chunk and not self.corpus_buckets:
@@ -1110,12 +1219,16 @@ class CrawlEngine:
 
     def _step(
         self, wave: int, frontier: DataFrame, runs_b: DataFrame
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         # 1. SLICE — per-host politeness-bounded queue heads
         if self._frontier_lsm:
             # dedup + slice + split in the slice's own exchange; rest
-            # is a filter over the checkpointed ranked split point
-            sliced, rest = slice_split(frontier, self.budget, self.n_salts)
+            # is a filter over the checkpointed ranked split point.
+            # eager=False: the split-point checkpoint materializes
+            # inside the seen-delta count below (a full scan of
+            # sliced), not as its own job (round 6)
+            sliced, rest = slice_split(frontier, self.budget, self.n_salts,
+                                       eager=False)
             # the hot loop dropped the host + run_id strings
             # (_trim_frontier); everything downstream of the slice
             # (fetch politeness groups, results/events schemas,
@@ -1131,6 +1244,48 @@ class CrawlEngine:
                 sliced.select(*STATE_KEYS), STATE_KEYS, "left_anti"
             )
 
+        # 3a. SEEN delta (materialized FIRST — round 6): the count job
+        #    below is the wave's cache-populating action on the slice,
+        #    its row count doubles as the loop's emptiness signal (an
+        #    empty slice ⟺ an empty frontier, so run() needs no
+        #    per-wave isEmpty action) and it bounds the fetch-prune id
+        #    collect (a <= n_delta plain collect instead of a
+        #    distinct+limit exchange; _pruned_images).
+        #    Lazy checkpoint + count(): the count job IS the
+        #    materialization (eager=True would run the same job
+        #    internally), so the delta's row count comes for free —
+        #    it feeds the filter-delta broadcast bound below.
+        seen_delta = sliced.select(
+            "_key",
+            # ord space when trimming: the delta folds into the
+            # ord-space seen base and feeds the STATE_KEYS admit join
+            (F.col("_run_ord").alias("run_id")
+             if "_run_ord" in sliced.columns else F.col("run_id")),
+            "url", F.col("depth").alias("best_depth")
+        ).localCheckpoint(eager=False)
+        n_delta = seen_delta.count()
+        if n_delta == 0:
+            # frontier exhausted: the slice of a (deduped) frontier is
+            # empty iff the frontier is — signal run() to stop without
+            # committing anything for this wave
+            sliced.unpersist()
+            return None
+        self._seen_deltas.append(seen_delta)
+        if self._state_rows_bound is not None:
+            self._state_rows_bound += n_delta
+        if self.bloom_mode in ("sharded", "cuckoo"):
+            # the wave's filter add-delta is the SAME key set — a
+            # projection of the checkpoint above, no extra
+            # materialization; O(delta) per-wave filter maintenance
+            self._filter_deltas.append(
+                ("add", seen_delta.select(F.col("_key").alias("k"))))
+            self._filter_delta_keys += n_delta
+            if self._filter_delta_keys > self.filter_delta_max_keys:
+                # enforce the probe-broadcast bound: fold the stack
+                # into the shard base now instead of broadcasting an
+                # oversized exact-membership frame this wave
+                self._fold_filter()
+
         # incremental bloom maintenance: this wave's fetches ARE the new
         # seen entries; add their keys via distributed partial bitmaps
         if self._bloom is not None:
@@ -1141,13 +1296,14 @@ class CrawlEngine:
                 )
             )
         # sharded/cuckoo filter maintenance is LSM-deferred: the wave's
-        # add keys ride the seen delta's checkpoint (step 3) onto the
+        # add keys ride the seen delta's checkpoint (3a) onto the
         # _filter_deltas stack; shards rewrite only at _fold_filter
 
         # 2. FETCH — equi-join against the image+caption corpus, pruned
-        #    to the slice's ids (O(slice) corpus reads; _pruned_images)
+        #    to the slice's ids (O(slice) corpus reads; _pruned_images —
+        #    n_delta bounds the id collect)
         fetched = sliced.withColumn("image_id", F.sha1(F.encode("url", "UTF-8"))) \
-            .join(self._pruned_images(sliced), "image_id", "left")
+            .join(self._pruned_images(sliced, n_delta), "image_id", "left")
         if self.use_token_bucket:
             fetched = fetch_with_token_bucket(
                 fetched, POLITENESS_INTERVAL_S, wave, self.budget
@@ -1191,36 +1347,6 @@ class CrawlEngine:
             ).alias("fetch_offset_s"),
         )
 
-        # 3. SEEN — this wave's fetches (incl. failures) are a new
-        #    consume DELTA pushed onto the stack; the min-depth merge
-        #    into the base happens lazily in _fold_seen (LSM layout).
-        #    Lazy checkpoint + count(): the count job IS the
-        #    materialization (eager=True would run the same job
-        #    internally), so the delta's row count comes for free —
-        #    it feeds the filter-delta broadcast bound below.
-        seen_delta = sliced.select(
-            "_key",
-            # ord space when trimming: the delta folds into the
-            # ord-space seen base and feeds the STATE_KEYS admit join
-            (F.col("_run_ord").alias("run_id")
-             if "_run_ord" in sliced.columns else F.col("run_id")),
-            "url", F.col("depth").alias("best_depth")
-        ).localCheckpoint(eager=False)
-        n_delta = seen_delta.count()
-        self._seen_deltas.append(seen_delta)
-        if self.bloom_mode in ("sharded", "cuckoo"):
-            # the wave's filter add-delta is the SAME key set — a
-            # projection of the checkpoint above, no extra
-            # materialization; O(delta) per-wave filter maintenance
-            self._filter_deltas.append(
-                ("add", seen_delta.select(F.col("_key").alias("k"))))
-            self._filter_delta_keys += n_delta
-            if self._filter_delta_keys > self.filter_delta_max_keys:
-                # enforce the probe-broadcast bound: fold the stack
-                # into the shard base now instead of broadcasting an
-                # oversized exact-membership frame this wave
-                self._fold_filter()
-
         # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
         parents = (
             fetched.filter(F.col("bytes").isNotNull())
@@ -1252,6 +1378,13 @@ class CrawlEngine:
             )
         )
         links = self._pruned_links(parents)
+        # deliberate join strategy (round 6): the parent side is
+        # bounded by the slice (n_delta rows, known exactly) — when it
+        # is provably small, hint the broadcast instead of leaving the
+        # strategy to AQE's runtime size estimate. Above the bound the
+        # AQE path (runtime broadcast + skew join) stands.
+        if n_delta <= self.expand_broadcast_max:
+            parents = F.broadcast(parents)
         cand = (
             parents.join(links, ["src_url", "src_host"])
             .withColumn("dst_host", url_host(F.col("dst_url")))
@@ -1266,49 +1399,48 @@ class CrawlEngine:
 
         # 5. DEDUP — consolidate, then classify vs seen (re-crawl on
         #    strictly smaller depth)
-        # Materialized once per wave (AQE ON: the expand join is the
-        # skew-prone stage): every downstream consumer — bloom probes,
-        # the admit joins, frontier merge, the events append — reuses
-        # this checkpoint instead of re-running expand+criteria (the
-        # eventlog path used to compute the expansion twice).
-        if "_run_ord" in cand.columns:
-            # trim mode: the state key is computed BEFORE consolidation
-            # (it needs the run_id STRING, still present on cand rows)
-            # and the groupBy keys are (_key, run ordinal, dst) — the
-            # run_id string never enters the consolidation exchange,
-            # and cand2 comes out in ord space ready for the admit
-            # joins against the ord-space seen base. Grouping by
-            # (_run_ord, dst_url) is the same partition of rows as
-            # (run_id, dst_url): the ordinal <-> run_id map is a
-            # bijection; _key and dst_host are functions of the keys.
-            cand2 = (
-                cand.withColumn("_key", self._seen_key(url_col="dst_url"))
-                .groupBy("_key", "_run_ord", "dst_url", "dst_host")
-                .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
-                .select(
-                    F.col("_run_ord").alias("run_id"),
-                    F.col("dst_url").alias("url"),
-                    F.col("dst_host").alias("host"),
-                    F.col("m.depth").alias("depth"),
-                    F.col("m.parent_rank").alias("parent_rank"),
-                    "_key",
-                )
-                .localCheckpoint(eager=True)
+        # Consolidation groups by EXACTLY the state keys (round 6):
+        # dst_host is a pure function of dst_url (url_host), so it
+        # rides as first() instead of a group key — the aggregate's
+        # output partitioning (_key, run, url) then matches the admit
+        # join's clustering, and its SortAggregate ordering doubles as
+        # the join's sort: in the fused plan below the candidates cross
+        # ONE exchange between expansion and admission, with zero extra
+        # sort. The state key is computed BEFORE consolidation (it
+        # needs the run_id STRING, still on cand rows); in trim mode
+        # the groupBy runs in ord space — the run_id string never
+        # enters the consolidation exchange. Grouping by (_run_ord,
+        # dst_url) is the same partition of rows as (run_id, dst_url):
+        # the ordinal <-> run_id map is a bijection.
+        rcol = "_run_ord" if "_run_ord" in cand.columns else "run_id"
+        cand2 = (
+            cand.withColumn("_key", self._seen_key(url_col="dst_url"))
+            .groupBy("_key", rcol, "dst_url")
+            .agg(F.min(F.struct("depth", "parent_rank")).alias("m"),
+                 F.first("dst_host").alias("dst_host"))
+            .select(
+                F.col(rcol).alias("run_id"),
+                F.col("dst_url").alias("url"),
+                F.col("dst_host").alias("host"),
+                F.col("m.depth").alias("depth"),
+                F.col("m.parent_rank").alias("parent_rank"),
+                "_key",
             )
-        else:
-            cand2 = (
-                cand.groupBy("run_id", "dst_url", "dst_host")
-                .agg(F.min(F.struct("depth", "parent_rank")).alias("m"))
-                .select(
-                    "run_id",
-                    F.col("dst_url").alias("url"),
-                    F.col("dst_host").alias("host"),
-                    F.col("m.depth").alias("depth"),
-                    F.col("m.parent_rank").alias("parent_rank"),
-                )
-                .withColumn("_key", self._seen_key())
-                .localCheckpoint(eager=True)
-            )
+        )
+        # Checkpoint cand2 only when something consumes it twice (the
+        # approximate-filter paths probe it AND route both halves
+        # onward). On the plain exact path it has exactly ONE consumer
+        # — the admission join — so the wave FUSES expand → criteria →
+        # consolidate → admit → project into the single `fresh`
+        # materialization below (one job instead of two per wave; the
+        # broadcast hint above keeps the expand join sane without AQE
+        # when the parent side is provably small, and above the hint
+        # bound the checkpoint returns so the skew-prone expand join
+        # keeps AQE).
+        fuse = (self.bloom_mode is False
+                and n_delta <= self.expand_broadcast_max)
+        if not fuse:
+            cand2 = cand2.localCheckpoint(eager=True)
         fresh_cols = [
             "_key", "run_id", "url",
             # lsm hot loop carries the politeness hash only; the value
@@ -1359,8 +1491,9 @@ class CrawlEngine:
                 .select(*fresh_cols)
             checked_full = self._materialize(self._admit_unseen(
                 tagged.filter(F.col("_maybe_seen")), keep_flag=True
-            ))  # small: filter-hit admissions; AQE-off keeps the base
-            # side of the admit join exchange-free
+            ), aqe_off=not self._small_state())
+            # small: filter-hit admissions; with a big state AQE-off
+            # keeps the base side of the admit join exchange-free
             fresh = definitely_new.unionByName(
                 checked_full.select(*fresh_cols))
             # T8 + deletability: evict fingerprints of re-admitted URLs
@@ -1379,11 +1512,13 @@ class CrawlEngine:
             self._filter_deltas.append(("del", dels))
         else:
             fresh = self._admit_unseen(cand2).select(*fresh_cols)
-        # AQE-off materialization: the admit joins against the seen
-        # base plan here, so the base side runs exchange-free/sort-free
-        # (see _materialize); also makes `fresh` single-compute for its
-        # two consumers (merge + events).
-        fresh = self._materialize(fresh)
+        # Materialization: the admit joins against the seen base plan
+        # here, so with a big state the AQE-off planning keeps the base
+        # side exchange-free/sort-free (see _materialize); with a
+        # provably small state the joins broadcast instead and AQE
+        # stays on to coalesce the tiny stages. Also makes `fresh`
+        # single-compute for its two consumers (merge + events).
+        fresh = self._materialize(fresh, aqe_off=not self._small_state())
 
         # 6. MERGE — frontier keeps min (depth, seq) per (run, url).
         # LSM mode defers the min-merge into next wave's slice_split:

@@ -147,7 +147,8 @@ def top_k_per_host(
 
 
 def slice_split(
-    frontier: DataFrame, k: int, n_salts: int = 16, host_col: str = "host"
+    frontier: DataFrame, k: int, n_salts: int = 16, host_col: str = "host",
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Slice AND split in ONE frontier exchange: returns
     ``(sliced, rest)`` where ``sliced`` is exactly
@@ -185,6 +186,12 @@ def slice_split(
     The ranked split point is localCheckpoint-ed here — it is the
     wave's single O(frontier) materialization (both returned frames
     filter it; without it the exchange would run once per consumer).
+    ``eager=False`` defers that materialization to the caller's FIRST
+    full-scan action over either returned frame (the engine's
+    seen-delta count is one), merging the checkpoint job into an
+    action the caller pays anyway — callers whose first action is NOT
+    a full scan of one branch (e.g. a union of both) must keep
+    ``eager=True`` or the exchange may run once per branch.
     """
     order = _order_cols(frontier)
     # pmod(·, 1) == 0: degenerate salt keeps the plan shape uniform
@@ -246,7 +253,7 @@ def slice_split(
         ranked = (
             ded.withColumn("_r1", F.row_number().over(w1))
             .drop("_salt", "_hk")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     elif mode == "sortagg" and agg_ok:
         ded = (
@@ -259,7 +266,7 @@ def slice_split(
         ranked = (
             ded.withColumn("_r1", F.row_number().over(w1))
             .drop("_salt", "_hk")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     else:
         w_d = Window.partitionBy(*dkeys).orderBy("depth", "seq")
@@ -268,7 +275,7 @@ def slice_split(
             .filter(F.col("_rd") == 1)
             .withColumn("_r1", F.row_number().over(w1))
             .drop("_rd", "_salt", "_hk")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     # phase 2 — exact rank over <= n_salts*k survivors per host (the
     # phase-1 cutoff is over DEDUPED rows, so the two-phase proof in

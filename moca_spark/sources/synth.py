@@ -115,7 +115,14 @@ def images_for_urls(spark: SparkSession, urls: list[str]) -> DataFrame:
 
 def images_distributed(spark: SparkSession, urls_df: DataFrame) -> DataFrame:
     """Distributed corpus generator: mapInPandas over a DataFrame with a
-    ``url`` column. Never touches the driver; scales with partitions."""
+    ``url`` column. Never touches the driver; scales with partitions.
+
+    The generator is re-spread over the full parallelism before the
+    opaque Python stage (round 6, guide §4): PNG synthesis costs ~1 ms
+    per row, which Spark cannot see — AQE coalesces the tiny distinct
+    down to one partition and would run the whole corpus on a single
+    Python worker (measured 2x the warm wall at local[32]). The floor
+    keeps cluster-sized distinct outputs unshrunk."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,7 +134,14 @@ def images_distributed(spark: SparkSession, urls_df: DataFrame) -> DataFrame:
                 {f.name: pd.Series(dtype="object") for f in IMAGES_SCHEMA}
             )
 
-    return urls_df.select("url").distinct().mapInPandas(gen, IMAGES_SCHEMA)
+    n_par = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return (
+        urls_df.select("url").distinct().repartition(n_par)
+        .mapInPandas(gen, IMAGES_SCHEMA)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -222,7 +222,10 @@ def main() -> int:
     )
     # a 100k-row audit base fits under the broadcast threshold (which
     # would be the RIGHT plan at this size); force the big-state SMJ
-    # shape the 10^10 base would take
+    # shape the 10^10 base would take — including the engine's own
+    # small-state broadcast fast path (round 6): a bound of None is
+    # the "unknown/big state" setting every real crawl reaches
+    eng._state_rows_bound = None
     bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

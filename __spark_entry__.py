@@ -352,9 +352,12 @@ def _q19_simhash(spark, sf_dir):
 
 
 def _q20_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard similarity: top-20 most similar doc pairs."""
+    """n-gram Jaccard similarity: top-20 most similar doc pairs.
+    The shingle set is checkpointed once (round 6): candidate-pair
+    derivation and the jaccard verify both re-read it instead of
+    re-running the explode per consumer."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    sh = shingles(d, "text", n=3, id_col="doc_id")
+    sh = shingles(d, "text", n=3, id_col="doc_id").localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("a"), "shingle_hash").distinct()
     b = sh.select(F.col("doc_id").alias("b"), "shingle_hash").distinct()
     pairs = a.join(b, "shingle_hash").filter(F.col("a") < F.col("b")) \

@@ -103,6 +103,15 @@ def frontier_schedule_dedup(
                 (F.col("seq") % 100 + 1).alias("parent_rank"))
         .withColumn("run_id", F.lit("bench"))
     )
+    if mode == "lsm":
+        # candidates enter the timed region ALREADY in ord space (the
+        # engine's _run_ord is a real column carried from the slice) —
+        # trimming after the parquet round-trip instead would leave a
+        # foldable literal whose constant-folded consolidation
+        # partitioning (_key, 0, url) can never satisfy the admission
+        # join's clustering, forcing a second O(candidates) exchange
+        # the engine does not pay (round 6)
+        candidates = candidates.withColumn("run_id", F.lit(0))
     # steady-state fresh layer riding unmerged on the LSM frontier
     # (~admit ratio of a mid-crawl wave); not counted in `processed`
     # (conservative: the lsm kernel does MORE rows per reported URL)
@@ -194,8 +203,7 @@ def frontier_schedule_dedup(
         # join's clustering and its sort doubles as the join sort: the
         # candidates cross ONE exchange between consolidation and
         # admission instead of two.
-        cand_src = (candidates.withColumn("run_id", F.lit(0))
-                    if mode == "lsm" else candidates)
+        cand_src = candidates  # lsm: already ord-space (see gen above)
         cand2 = (
             cand_src.groupBy("_key", "run_id", "url")
             .agg(F.min(F.struct("depth", "parent_rank")).alias("m"),

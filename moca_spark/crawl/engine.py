@@ -60,6 +60,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import tempfile
+import zlib
 from dataclasses import dataclass
 
 import pandas as pd
@@ -1163,7 +1164,21 @@ class CrawlEngine:
         # sample rows from up to 8 files; every row must land in its
         # file's bucket under the declared (column, count) hypothesis.
         # F.hash IS Spark's bucketing hash (Murmur3 seed 42).
-        sample = [(b, fs[0]) for b, fs in sorted(mapped.items())[:8]]
+        # Buckets are sampled evenly ACROSS the parsed range (not the
+        # first 8) and the probed file is a deterministic pseudo-random
+        # pick per bucket (round-5 advice: first-file-of-first-buckets
+        # sampling could pass a corpus with files appended later under
+        # a different layout). Bounded: still <= 8 file reads. Mixed
+        # layouts that dodge this sample — same filename convention,
+        # consistent ids only in the probed files — remain out of
+        # scope; append to a bucketed corpus only via
+        # write_corpus_bucketed with the same n_buckets.
+        items = sorted(mapped.items())
+        stride = max(1, len(items) // 8)
+        sample = [
+            (b, fs[zlib.crc32(str(b).encode()) % len(fs)])
+            for b, fs in items[::stride][:8]
+        ]
         for b, f in sample:
             rows = (
                 self.spark.read.schema(self.images.schema).parquet(f)
@@ -1348,9 +1363,29 @@ class CrawlEngine:
         )
 
         # 4. EXPAND — max-depth gates the PARENT (MaxDepthCriteria)
+        parents_src = fetched.filter(F.col("bytes").isNotNull())
+        if "_run_ord" in fetched.columns and self._run_ords is not None:
+            # trim mode (round 6): the per-run criteria are driver-side
+            # constants and the ordinal is already on every row, so the
+            # criteria columns attach as O(1) literal-array lookups —
+            # the per-wave runs broadcast join (a broadcast-build job
+            # each wave) disappears. Bounded by runid_trim_max_runs
+            # (<= 4096 literals per array), exactly like _rerun_id.
+            by_id = {r["run_id"]: r for r in self.runs}
+
+            def _crit(col: str) -> F.Column:
+                arr = F.array(*[F.lit(by_id[rid][col])
+                                for rid in self._run_ords])
+                return F.element_at(arr, F.col("_run_ord") + 1)
+
+            for c in ("criteria_name", "max_depth", "same_host",
+                      "same_domain", "robots_txt"):
+                parents_src = parents_src.withColumn(c, _crit(c))
+        else:
+            parents_src = parents_src.join(
+                runs_b.drop("seed_url", "seed_seq"), "run_id")
         parents = (
-            fetched.filter(F.col("bytes").isNotNull())
-            .join(runs_b.drop("seed_url", "seed_seq"), "run_id")
+            parents_src
             .filter((F.col("max_depth") < 0) | (F.col("depth") < F.col("max_depth")))
             .select(
                 "run_id", "criteria_name", "same_host", "same_domain",

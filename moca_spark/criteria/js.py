@@ -274,7 +274,14 @@ def js_select(
     seen: set[str] = set()
     out: list[str] = []
     for i in range(length):
-        slot = obj[i]
+        try:
+            slot = obj[i]
+        except (TypeError, KeyError, IndexError):
+            # a sized but non-indexable executor result (set, dict,
+            # generator with __len__) degrades to skipped slots, like
+            # the reference's Try-wrapped probe — never a failed stage
+            # (round-5 advice)
+            continue
         if slot is None:
             continue
         u = resolve_str(rendered_url or "", str(slot))

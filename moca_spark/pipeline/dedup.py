@@ -157,12 +157,19 @@ def minhash_candidate_pairs(buckets: DataFrame,
 def jaccard_pairs(sh: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify step):
-    |intersection| via shingle-hash join, |union| = |A| + |B| - |I|."""
-    sizes = sh.groupBy(id_col).agg(
-        F.countDistinct("shingle_hash").alias("n_sh")
-    )
-    a_sh = sh.select(F.col(id_col).alias("a"), "shingle_hash").distinct()
-    b_sh = sh.select(F.col(id_col).alias("b"), "shingle_hash").distinct()
+    |intersection| via shingle-hash join, |union| = |A| + |B| - |I|.
+
+    The distinct (id, shingle_hash) set is materialized ONCE and read
+    three times (sizes, both join sides) — round 6: the operator used
+    to recompute the shingle explode + distinct exchange per use
+    (guide §5: the intermediate is reused and recomputing it costs a
+    full explode+shuffle). count over the distinct set ==
+    countDistinct over the raw rows, so the numbers are unchanged."""
+    ds = sh.select(id_col, "shingle_hash").distinct() \
+        .localCheckpoint(eager=True)
+    sizes = ds.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a_sh = ds.select(F.col(id_col).alias("a"), "shingle_hash")
+    b_sh = ds.select(F.col(id_col).alias("b"), "shingle_hash")
     inter = (
         pairs.join(a_sh, "a").join(b_sh, ["b", "shingle_hash"])
         .groupBy("a", "b")

@@ -29,6 +29,25 @@ def _force(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+
+def _free_rdds_since(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD persisted after ``before`` was snapshotted
+    (round 6): each kernel rep localCheckpoints ~8M rows of state that
+    nothing frees until JVM GC gets around to it — by the time
+    bench.py's crawl and query phases run, the block manager is
+    holding several reps' worth of dead state. Scoped to the ids
+    created in between, so callers' own caches are untouched."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet()) - before:
+        try:
+            jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
+
+
 STATE_KEYS = ["_key", "run_id", "url"]
 
 
@@ -80,6 +99,8 @@ def frontier_schedule_dedup(
     # the run_id string (the _key is still computed from the STRING —
     # the engine computes it at creation sites where the string
     # exists); both strings are re-derived on the budget-bounded slice
+    _rdds_at_entry = _persistent_rdd_ids(spark)
+
     def _trim(df):
         if mode != "lsm":
             return df
@@ -260,6 +281,10 @@ def frontier_schedule_dedup(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         sliced.unpersist()
+        # free this rep's checkpointed state (untimed; see
+        # _free_rdds_since) so later reps and bench phases don't run
+        # against a block manager full of dead state
+        _free_rdds_since(spark, _rdds_at_entry)
 
     total = t_sched + t_dedup + t_fold / fold_every
     processed = n_frontier + n_candidates
@@ -284,6 +309,7 @@ def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
     from moca_spark.crawl.engine import CrawlEngine
     from moca_spark.sources.synth import images_distributed, links_df, zipf_graph
 
+    _rdds_at_entry = _persistent_rdd_ids(spark)
     edges = zipf_graph(n_hosts=n_hosts, pages_per_host=pages_per_host)
     links = links_df(spark, edges)
     urls = links.select(F.col("src_url").alias("url")).unionByName(
@@ -300,6 +326,9 @@ def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
     res = eng.run(max_waves=8)
     n = res.results.count()
     dt = time.time() - t0
+    # drop the crawl's caches/checkpoints before the query phases run
+    # (untimed; see _free_rdds_since)
+    _free_rdds_since(spark, _rdds_at_entry)
     return {"fetched": n, "waves": res.waves, "sec": round(dt, 2),
             "fetch_per_sec": round(n / dt, 1)}
 

@@ -1122,3 +1122,34 @@ def test_runid_trim_unknown_run_raises(spark, tmp_path):
                           edges, budget=1, durable="eventlog")
     with pytest.raises(Exception, match="absent from"):
         eng2.run(resume=True)
+
+
+def test_round6_paths_forced_parity(spark, tmp_path):
+    """Round-6 adaptive shapes pinned to the oracle: the engine picks
+    between a small-state broadcast admission + fused expand/admit and
+    the at-scale checkpointed SMJ shape by exact row-count bounds.
+    Force each regime on the same fixture — identical results either
+    way (the thresholds are pure plan strategy, never semantics)."""
+    edges = diamond_graph() + handoff_graph()
+    works = [W("w1", "http://sitea.test/a", max_depth=4)]
+    # big-state regime: broadcast/fusion thresholds at 0 means every
+    # wave takes the checkpointed cand2 + sorted-base SortMergeJoin
+    # path even on a toy state
+    got_big, want = run_both(spark, tmp_path, works, edges, budget=2,
+                             state_broadcast_max=0, expand_broadcast_max=0)
+    assert_match(got_big, want)
+    # small-state regime (the defaults on a toy crawl): broadcast
+    # admission, fused expand -> admit, criteria literal lookups
+    got_small, want2 = run_both(spark, tmp_path / "s", works, edges,
+                                budget=2)
+    assert_match(got_small, want2)
+
+
+def test_round6_empty_slice_stops_without_isempty(spark, tmp_path):
+    """The run loop's emptiness signal is the slice count (round 6):
+    a frontier that exhausts mid-run stops exactly like before, and an
+    engine with zero works stops immediately at wave 0."""
+    eng, urls = make_engine(spark, tmp_path, [], chain_graph(n=3))
+    res = eng.run(max_waves=5)
+    assert res.waves == 0
+    assert res.frontier.count() == 0

@@ -477,8 +477,12 @@ class CrawlEngine:
         time instead of silently dropping rows."""
         if self._run_ords is None or dict(df.dtypes).get("run_id") != "string":
             return df
+        # via pandas: the Arrow createDataFrame path plans a JVM-only
+        # scan; the list path would plan a PythonRDD that runs pickle
+        # workers on every later read (round 6, see sources/synth.py)
         ords = self.spark.createDataFrame(
-            [(rid, i) for i, rid in enumerate(self._run_ords)],
+            pd.DataFrame({"run_id": list(self._run_ords),
+                          "_ord": range(len(self._run_ords))}),
             "run_id string, _ord int",
         )
         return (
@@ -512,8 +516,13 @@ class CrawlEngine:
         )
 
     def _runs_df(self) -> DataFrame:
+        cols = ["run_id", "seed_url", "seed_seq", "criteria_name",
+                "max_depth", "same_host", "same_domain", "robots_txt"]
+        # via pandas for the Arrow createDataFrame path (no PythonRDD
+        # pickle scan on the per-wave reads; round 6)
         return self.spark.createDataFrame(
-            self.runs,
+            pd.DataFrame([[r[c] for c in cols] for r in self.runs],
+                         columns=cols),
             "run_id string, seed_url string, seed_seq long, "
             "criteria_name string, max_depth int, same_host boolean, "
             "same_domain boolean, robots_txt boolean",

@@ -110,7 +110,13 @@ def images_for_urls(spark: SparkSession, urls: list[str]) -> DataFrame:
     """Eager fixture corpus: one image row per page URL; every 7th row
     takes the lossy path to exercise the PSNR gate."""
     rows = [make_image_row(u, lossy=(i % 7 == 3)) for i, u in enumerate(sorted(set(urls)))]
-    return spark.createDataFrame(rows, IMAGES_SCHEMA)
+    # via pandas for the Arrow createDataFrame path (see links_df):
+    # the fixture corpus is re-scanned every wave's fetch join — the
+    # pickle path would run a Python unpickle stage per scan
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA]),
+        schema=IMAGES_SCHEMA,
+    )
 
 
 def images_distributed(spark: SparkSession, urls_df: DataFrame) -> DataFrame:
@@ -207,7 +213,16 @@ def zipf_graph(
 
 
 def links_df(spark: SparkSession, edges: list[tuple[str, str]]) -> DataFrame:
-    return spark.createDataFrame(edges, ["src_url", "dst_url"])
+    # via pandas so createDataFrame takes the Arrow path (round 6):
+    # a plain list of tuples goes through the legacy pickle path,
+    # which plans a PythonRDD scan — every later read of the links
+    # graph then runs Python workers (a whole per-session worker pool
+    # + per-scan round trips) just to unpickle 2 string columns. The
+    # Arrow path converts driver-side and scans JVM-only.
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src_url", "dst_url"]),
+        schema=LINKS_SCHEMA,
+    )
 
 
 def robots_df(

@@ -307,16 +307,32 @@ def crawl_end_to_end(spark: SparkSession, n_hosts: int = 12,
     """Small end-to-end crawl (engine, memory mode) on a Zipf graph."""
     from moca_spark.criteria.dsl import CriteriaSpec, Work
     from moca_spark.crawl.engine import CrawlEngine
-    from moca_spark.sources.synth import images_distributed, links_df, zipf_graph
+    from moca_spark.sources.synth import links_df, zipf_graph
 
     _rdds_at_entry = _persistent_rdd_ids(spark)
     edges = zipf_graph(n_hosts=n_hosts, pages_per_host=pages_per_host)
     links = links_df(spark, edges)
-    urls = links.select(F.col("src_url").alias("url")).unionByName(
-        links.select(F.col("dst_url").alias("url"))).distinct()
+    # fixture-scale corpus (~1k rows): generate driver-side and ship
+    # via Arrow createDataFrame — identical rows to the distributed
+    # generator (same per-url crc32 lossy rule), but no Python stage
+    # in the timed region for a corpus this small (round 6; the
+    # mapInPandas generator remains the at-scale path — entry() and
+    # engine_scale_run still exercise it)
+    import zlib
+
+    import pandas as pd
+
+    from moca_spark.sources.synth import IMAGES_SCHEMA, make_image_row
+
+    urls = sorted({u for e in edges for u in e})
+    rows = [make_image_row(u, lossy=(zlib.crc32(u.encode()) % 7 == 3))
+            for u in urls]
     # the corpus is scanned every wave: cache it (stand-in for the
     # Iceberg table scan; PNG synthesis must not re-run per wave)
-    images = images_distributed(spark, urls).cache()
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA]),
+        schema=IMAGES_SCHEMA,
+    ).cache()
     images.count()
     eng = CrawlEngine(spark, links, images, budget=20, durable=False, n_salts=4,
                       collect_metrics=False)

@@ -142,10 +142,36 @@ def frontier_schedule_dedup(
         .withColumn("run_id", F.lit("bench"))
     ))
     if materialize_dir:
-        for name, df in (("frontier", frontier), ("seen", seen),
-                         ("candidates", candidates),
-                         ("fresh_prev", fresh_prev)):
-            df.write.mode("overwrite").parquet(f"{materialize_dir}/{name}")
+        # The synthetic inputs are deterministic (fixed seeds/sizes),
+        # so when the SAME dir is passed for several reps (bench.py
+        # hands one mkdtemp to its warmup + 3 reps) the parquet only
+        # needs writing once — a marker records the generation params;
+        # any mismatch (or absence) rewrites (round 6: untimed-prep
+        # cost only; the timed region still computes everything from
+        # the parquet, and the dir is a fresh tempdir per invocation).
+        import json as _json
+        import os as _os
+
+        params = {"n_frontier": n_frontier, "n_candidates": n_candidates,
+                  "n_hosts": n_hosts, "partitions": partitions,
+                  "mode": mode}
+        marker = f"{materialize_dir}/_INPUTS_OK"
+        have = False
+        try:
+            with open(marker) as fh:
+                have = _json.load(fh) == params
+        except (OSError, ValueError):
+            have = False
+        if not have:
+            for name, df in (("frontier", frontier), ("seen", seen),
+                             ("candidates", candidates),
+                             ("fresh_prev", fresh_prev)):
+                df.write.mode("overwrite").parquet(
+                    f"{materialize_dir}/{name}")
+            tmp_marker = marker + ".tmp"
+            with open(tmp_marker, "w") as fh:
+                _json.dump(params, fh)
+            _os.replace(tmp_marker, marker)  # atomic: no torn marker
         frontier = spark.read.parquet(f"{materialize_dir}/frontier")
         seen = spark.read.parquet(f"{materialize_dir}/seen")
         candidates = spark.read.parquet(f"{materialize_dir}/candidates")
